@@ -1,0 +1,96 @@
+"""Graph500 benchmark protocol — root sampling + TEPS statistics (SURVEY §2.6).
+
+* T1 root sampling: deterministic candidate stream, dedup, keep iff the
+  vertex has an edge (reference find_roots,
+  /root/reference/mpi/benchmark_helper.hpp:528-562; 64 roots / 16 in test
+  mode, /root/reference/mpi/parameters.h:88-89).
+* T4 summary statistics incl. **harmonic-mean TEPS** with Norris stddev —
+  the headline metric (/root/reference/mpi/logfile.h:27-133).  Computed in
+  plain Python on ≤64 floats; Spark is not involved (SURVEY §2.6 note).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_BFS_ROOTS = 64  # /root/reference/mpi/parameters.h:88
+TEST_BFS_ROOTS = 16  # /root/reference/mpi/parameters.h:89
+
+
+def sample_roots(
+    degrees: DataFrame, n_roots: int, seed1: int = 2, seed2: int = 3, max_vertex: int | None = None
+) -> list[int]:
+    """Deterministic roots with ≥1 edge.
+
+    The candidate stream is a hash of (seed1, seed2, counter) — same shape
+    as the reference's make_random_numbers stream; connectivity filtering is
+    one broadcast-joined lookup batch instead of per-candidate allreduce.
+    """
+    from graph500_bfs_spark.sources.kronecker import _mix64
+
+    connected = degrees.filter(F.col("deg") > 0).select("v")
+    n_conn = connected.count()
+    if n_conn <= n_roots:
+        return [r["v"] for r in connected.collect()]
+    if max_vertex is None:
+        max_vertex = int(degrees.agg(F.max("v")).collect()[0][0]) + 1
+    roots: list[int] = []
+    counter = 0
+    while len(roots) < n_roots:
+        batch = np.arange(counter, counter + 4 * n_roots, dtype=np.uint64)
+        cands = (
+            _mix64(batch + np.uint64(seed1 * 0x9E3779B97F4A7C15 + seed2)) % np.uint64(max_vertex)
+        ).astype(np.int64)
+        counter += 4 * n_roots
+        cand_df = degrees.sparkSession.createDataFrame(
+            [(int(c),) for c in dict.fromkeys(cands)], "v long"
+        )
+        ok = {
+            r["v"]
+            for r in cand_df.join(connected.withColumnRenamed("v", "cv"),
+                                  cand_df["v"] == F.col("cv"), "left_semi").collect()
+        }
+        for c in cands:
+            if int(c) in ok and int(c) not in roots:
+                roots.append(int(c))
+                if len(roots) == n_roots:
+                    break
+    return roots
+
+
+def summary_stats(values: list[float]) -> dict:
+    """min/quartiles/median/max/mean/stddev (reference get_statistics,
+    /root/reference/mpi/logfile.h:27-52)."""
+    a = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(a)
+    return {
+        "min": float(a[0]),
+        "firstquartile": float(np.percentile(a, 25)),
+        "median": float(np.percentile(a, 50)),
+        "thirdquartile": float(np.percentile(a, 75)),
+        "max": float(a[-1]),
+        "mean": float(a.mean()),
+        "stddev": float(a.std(ddof=1)) if n > 1 else 0.0,
+    }
+
+
+def teps_stats(traversed_edges: list[int], times_s: list[float]) -> dict:
+    """Harmonic-mean TEPS with Norris-formula stddev
+    (/root/reference/mpi/logfile.h:100-112)."""
+    teps = np.asarray(traversed_edges, dtype=np.float64) / np.asarray(times_s, dtype=np.float64)
+    n = len(teps)
+    recip = 1.0 / teps
+    hmean = n / recip.sum()
+    if n > 1:
+        # Norris 1940: stddev of harmonic mean
+        tmp = recip - recip.mean()
+        hstd = (math.sqrt((tmp * tmp).sum() / (n - 1)) / (n - 1)) * hmean * hmean
+    else:
+        hstd = 0.0
+    s = summary_stats(list(teps))
+    s.update({"harmonic_mean_TEPS": float(hmean), "harmonic_stddev_TEPS": float(hstd)})
+    return s

@@ -1,0 +1,52 @@
+"""Synchronous label propagation with deterministic min-tie-break (SURVEY §2.7).
+
+Each round every vertex adopts the most frequent label among its neighbors,
+ties broken by smallest label — fully deterministic, so results are exactly
+reproducible (the property the north rule requires and the reference's
+race-based parent writes lack).
+
+One round = two shuffles: (edges ⋈ labels) → count per (v, label) →
+argmax per v via a second aggregate.  Both aggregates are algebraic
+(map-side combinable) → hub skew is absorbed before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
+    """labels(v, label) over a symmetrized edge table; init label = v."""
+    labels = (
+        edges_sym.select(F.col("src").alias("v"))
+        .union(edges_sym.select(F.col("dst").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        counts = (
+            edges_sym.join(
+                labels.withColumnRenamed("v", "lv"), edges_sym["src"] == F.col("lv")
+            )
+            .groupBy(F.col("dst").alias("v"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax with min-label tie-break via max_by on a (cnt, -label) pair:
+        # struct ordering compares cnt first, then -label, so higher count
+        # wins and, within equal counts, the smaller label wins.
+        new_labels = counts.groupBy("v").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("label")
+        )
+        merged = (
+            labels.select(F.col("v"), F.col("label").alias("old"))
+            .join(new_labels.withColumnRenamed("v", "nv"), F.col("v") == F.col("nv"), "left")
+            .select("v", F.coalesce(F.col("label"), F.col("old")).alias("label"), F.col("old"))
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("label") != F.col("old")).count()
+        labels = merged.drop("old")
+        if changed == 0:
+            break
+    return labels

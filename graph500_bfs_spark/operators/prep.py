@@ -1,0 +1,72 @@
+"""Edge-list preprocessing — the reference's "relational" pipeline (SURVEY §2.2).
+
+Each operator is one declarative DataFrame expression; Catalyst supplies the
+counting/packing/alltoall the reference hand-builds:
+
+* P1 redistribute   → a single Exchange (``repartition`` by src hash)
+  (/root/reference/mpi/benchmark_helper.hpp:255-381)
+* P2 self-loop drop → ``filter(src != dst)`` (…:409,429,447)
+* P3 symmetrize     → union with swapped columns (…:383-497)
+* P4 scale estimate → ``max(greatest(src,dst))`` (…:488-494)
+* P5 degree count   → hash aggregate, partial+final
+  (/root/reference/mpi/graph_constructor.hpp:508-592)
+* P6 degree-descending dense reorder (optional physical opt, …:594-660)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def remove_self_loops(edges: DataFrame) -> DataFrame:
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Emit both directions of every edge; optionally dedup parallel edges.
+
+    Mirrors ``make_symmetry_edge_list`` — the reference keeps duplicates
+    (they're harmless to BFS); dedup=True additionally canonicalizes so each
+    undirected edge appears exactly twice, which PageRank/triangles need.
+    """
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    both = both.filter(F.col("src") != F.col("dst"))
+    return both.distinct() if dedup else both
+
+
+def estimate_num_vertices(edges: DataFrame) -> int:
+    """P4 — max vertex id + 1 (only meaningful for dense ids)."""
+    row = edges.agg(F.max(F.greatest("src", "dst")).alias("mx")).collect()[0]
+    return int(row["mx"]) + 1 if row["mx"] is not None else 0
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """P5 — degrees(v, deg) over a (usually symmetrized) edge table."""
+    return edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+
+
+def vertex_ids(edges: DataFrame) -> DataFrame:
+    """Distinct vertex domain of an edge table: vertices(v)."""
+    return (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+
+def degree_reorder_map(edges: DataFrame) -> DataFrame:
+    """P6 — map(v, dense_id) with dense_id assigned hub-first.
+
+    The reference sorts local vertices by descending degree so hot vertices
+    share bitmap words (VERTEX_REORDERING=2).  A global row_number over a
+    single-partition sort would bottleneck at scale, so we use the two-phase
+    form: order by (deg desc, v) inside `zipWithIndex`-free SQL — a window
+    over a range-partitioned sort, which Spark executes as a global sort
+    (acceptable: the map is |V|-sized, built once, reused across all roots).
+    """
+    deg = out_degrees(symmetrize(edges, dedup=False))
+    w = Window.orderBy(F.desc("deg"), F.asc("v"))
+    return deg.select("v", (F.row_number().over(w) - 1).alias("dense_id"))

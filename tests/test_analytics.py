@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph500_bfs_spark.operators.components import connected_components, prune_trees
+from graph500_bfs_spark.operators.label_propagation import label_propagation
+from graph500_bfs_spark.operators.pagerank import pagerank
+from graph500_bfs_spark.operators.triangles import per_vertex_triangles, triangle_count
+from tests import oracles
+from tests.conftest import (
+    HUB_SKEW,
+    PATH_GRAPH,
+    STAR_GRAPH,
+    TRIANGLE_PENDANT,
+    TWO_COMPONENTS,
+    edges_df,
+)
+
+ALL = [PATH_GRAPH, STAR_GRAPH, TWO_COMPONENTS, TRIANGLE_PENDANT, HUB_SKEW]
+
+
+@pytest.mark.parametrize("pairs", ALL)
+def test_connected_components_exact(spark, pairs):
+    es = edges_df(spark, pairs)
+    got = {r["v"]: r["component"] for r in connected_components(es).collect()}
+    assert got == oracles.connected_components(pairs)
+
+
+@pytest.mark.parametrize("pairs", ALL)
+def test_pagerank_fixed_iterations_exact(spark, pairs):
+    """Same K iterations as the oracle → must agree to float precision."""
+    es = edges_df(spark, pairs)  # symmetric directed copies
+    sym_pairs = list({(s, d) for s, d in pairs if s != d} | {(d, s) for s, d in pairs if s != d})
+    got = {r["v"]: r["score"] for r in pagerank(es, max_iter=15, tol=None).collect()}
+    want = oracles.pagerank(sym_pairs, max_iter=15, tol=0.0)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_converged_allclose_1e6(spark):
+    """North-rule contract: allclose(1e-6) vs the reference power iteration
+    at convergence (independent NumPy oracle run to its own fixpoint)."""
+    pairs = TRIANGLE_PENDANT
+    es = edges_df(spark, pairs)
+    sym_pairs = list({(s, d) for s, d in pairs if s != d} | {(d, s) for s, d in pairs if s != d})
+    got = {r["v"]: r["score"] for r in pagerank(es, max_iter=300, tol=1e-9).collect()}
+    want = oracles.pagerank(sym_pairs, max_iter=500, tol=1e-13)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_pagerank_dangling(spark):
+    # directed chain with a dangling sink: 0→1→2
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["v"]: r["score"] for r in pagerank(e, max_iter=25, tol=None).collect()}
+    want = oracles.pagerank([(0, 1), (1, 2)], max_iter=25, tol=0.0)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+@pytest.mark.parametrize("pairs", ALL)
+def test_label_propagation_exact(spark, pairs):
+    es = edges_df(spark, pairs)
+    got = {r["v"]: r["label"] for r in label_propagation(es, max_iter=7).collect()}
+    want = oracles.label_propagation(pairs, max_iter=7)
+    assert got == want
+
+
+@pytest.mark.parametrize("pairs", ALL + [[(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0), (2, 3)]])
+def test_triangle_count_exact(spark, pairs):
+    es = edges_df(spark, pairs)
+    assert triangle_count(es) == oracles.triangle_count(pairs)
+
+
+def test_per_vertex_triangles(spark):
+    es = edges_df(spark, TRIANGLE_PENDANT)
+    got = {r["v"]: r["n_triangles"] for r in per_vertex_triangles(es).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_prune_trees_path(spark):
+    # path graph is all tree: core must be empty, parents form a valid forest
+    es = edges_df(spark, PATH_GRAPH)
+    core, parents = prune_trees(es)
+    assert core.count() == 0
+    assert parents.count() == 4  # one of the 5 vertices survives as root
+
+
+def test_prune_trees_triangle_pendant(spark):
+    es = edges_df(spark, TRIANGLE_PENDANT)
+    core, parents = prune_trees(es)
+    core_verts = {r["src"] for r in core.collect()}
+    assert core_verts == {0, 1, 2}
+    assert {(r["v"], r["parent"]) for r in parents.collect()} == {(3, 2)}

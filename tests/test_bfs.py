@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph500_bfs_spark.operators.bfs import bfs, complete_result
+from graph500_bfs_spark.operators.prep import vertex_ids
+from graph500_bfs_spark.operators.validate import (
+    assert_valid_bfs,
+    count_traversed_edges,
+    validate_bfs,
+)
+from tests import oracles
+from tests.conftest import (
+    HUB_SKEW,
+    PATH_GRAPH,
+    STAR_GRAPH,
+    TRIANGLE_PENDANT,
+    TWO_COMPONENTS,
+    WITH_DUPS,
+    WITH_SELF_LOOP,
+    edges_df,
+)
+
+
+@pytest.mark.parametrize(
+    "pairs,root",
+    [
+        (PATH_GRAPH, 0),
+        (PATH_GRAPH, 2),
+        (STAR_GRAPH, 0),
+        (STAR_GRAPH, 3),
+        (TWO_COMPONENTS, 0),
+        (TWO_COMPONENTS, 10),
+        (TRIANGLE_PENDANT, 3),
+        (WITH_SELF_LOOP, 0),
+        (WITH_DUPS, 2),
+        (HUB_SKEW, 4),
+    ],
+)
+def test_bfs_matches_oracle_and_validates(spark, pairs, root):
+    es = edges_df(spark, pairs)
+    state, metrics = bfs(es, root)
+    got = {r["v"]: r["level"] for r in state.collect()}
+    want = oracles.bfs_levels(pairs, root)
+    assert got == want
+
+    res = complete_result(state, vertex_ids(es))
+    assert_valid_bfs(res, es, root)
+
+    # parent of every reached non-root vertex is one level up
+    rows = {r["v"]: (r["parent"], r["level"]) for r in res.collect()}
+    for v, (p, lvl) in rows.items():
+        if lvl > 0:
+            assert rows[p][1] == lvl - 1
+
+
+def test_bfs_deterministic_min_parent(spark):
+    # diamond: 0-1, 0-2, 1-3, 2-3 → parent of 3 must be min(1,2)=1
+    es = edges_df(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    state, _ = bfs(es, 0)
+    rows = {r["v"]: r["parent"] for r in state.collect()}
+    assert rows[3] == 1
+
+
+def test_traversed_edge_count(spark):
+    es = edges_df(spark, TWO_COMPONENTS)
+    state, _ = bfs(es, 10)
+    res = complete_result(state, vertex_ids(es))
+    # component {10,11,12} has 3 undirected edges
+    assert count_traversed_edges(res, es) == 3
+
+
+def test_validation_catches_bad_tree(spark):
+    es = edges_df(spark, PATH_GRAPH)
+    bad = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 1), (2, 0, 1), (3, 2, 2), (4, 3, 3)],
+        "v long, parent long, level int",
+    )  # vertex 2 claims parent 0 but (0,2) is not an edge
+    checks = validate_bfs(bad, es, 0)
+    assert checks["v5_tree_edge_exists"] > 0
