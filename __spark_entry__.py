@@ -33,6 +33,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank10": gate.q_pagerank10,
         "triangle_count": gate.q_triangle_count,
         "label_propagation_snr": gate.q_label_propagation_snr,
+        # training-data pipeline suites
+        "doc_stats": gate.q_doc_stats,
+        "exact_dup_groups": gate.q_exact_dup_groups,
+        "ngram_jaccard": gate.q_ngram_jaccard,
+        "minhash_signatures": gate.q_minhash_signatures,
+        "simhash_signatures": gate.q_simhash_signatures,
+        "cosine_topk": gate.q_cosine_topk,
+        "events_hourly": gate.q_events_hourly,
+        # rows-only (no SQL-expressible oracle): LSH variants, generators
+        "minhash_lsh_pairs": gate.q_minhash_lsh_pairs,
+        "lsh_topk": gate.q_lsh_topk,
+        "transcript_edges": gate.q_transcript_edges,
+        "kronecker_degree_hist": gate.q_kronecker_degree_hist,
     }
 
 

@@ -250,3 +250,187 @@ l2 AS (SELECT v, MIN(label) FILTER (WHERE cnt = mx) AS label
 SELECT v, label FROM l2"""
     ),
 }
+
+
+# ------------------------------------------------------- text / dedup gate
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite: tokens, stopwords, quality, lang guess, fingerprint."""
+    from graph500_bfs_spark.operators.textstats import document_stats
+
+    return document_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_read(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram Jaccard near-dup pairs (threshold 0.05) via inverted index."""
+    from graph500_bfs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=2, threshold=0.05, max_shingle_freq=10**9
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_read(spark, sf_dir, "documents"), k=8, n=2)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_read(spark, sf_dir, "documents"), bits=32)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), k=5, n_queries=10)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup — the batch twin of the streaming windowed agg."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value") * 1000).cast("long").alias("value_milli"),
+    )
+
+
+# rows-only entries (no SQL-expressible oracle)
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), k=8, bands=4, n=2,
+                             verify_threshold=0.05)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_read(spark, sf_dir, "embeddings"), k=5, n_queries=10)
+
+
+def q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript→edge derivation (S9): deterministic synthesized corpus."""
+    from graph500_bfs_spark.sources.edges import derive_edges
+    from graph500_bfs_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=500, seed=42)
+    return derive_edges(t)
+
+
+def q_kronecker_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kronecker generator S1–S3: degree histogram of a scale-12 R-MAT."""
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    e = kronecker_edges(spark, scale=12, edgefactor=16)
+    deg = out_degrees(symmetrize(e, dedup=False))
+    return deg.groupBy("deg").agg(F.count("*").alias("n_vertices"))
+
+
+# -------------------------------------------- text/dedup/similarity oracles
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOPLIST = "['the','a','of','and','to','in','is','it']"
+_H15 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_SHINGLES2 = f"""
+docs_l AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+shin AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(l), 1)),
+                          i -> array_to_string(l[i:i+1], ' ')))) AS shingle
+  FROM docs_l WHERE len(l) >= 2)
+"""
+
+
+def _minhash_sql(k: int = 8) -> str:
+    hs = ",\n       ".join(
+        "MIN(" + _H15.format(expr=f"'{i}:' || shingle") + f") AS h{i}" for i in range(k)
+    )
+    return f"WITH {_SHINGLES2} SELECT doc_id,\n       {hs}\nFROM shin GROUP BY doc_id"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n       ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(bits)
+    )
+    h15 = _H15.format(expr="tok")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hs AS (SELECT doc_id, {h15} AS h FROM toks),
+s AS (SELECT doc_id,
+       {sums}
+      FROM hs GROUP BY doc_id)
+SELECT doc_id, {val} AS simhash FROM s"""
+
+
+ORACLES.update(
+    {
+        "doc_stats": f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS INTEGER)
+           AS n_stopwords,
+         n_chars, text
+  FROM documents)
+SELECT doc_id, n_tokens, n_stopwords,
+       CAST(ROUND((LEAST(n_tokens / 100.0, 1.0) * 0.4
+           + (1.0 - LEAST(n_stopwords / GREATEST(n_tokens, 1.0) * 2.0, 1.0)) * 0.3
+           + LEAST((n_chars / GREATEST(n_tokens, 1.0)) / 8.0, 1.0) * 0.3) * 1e6) AS BIGINT)
+         AS quality_ppm,
+       CASE WHEN n_stopwords / GREATEST(n_tokens, 1.0) >= 0.05 THEN 'en' ELSE 'unk' END
+         AS lang_guess,
+       {_H15.format(expr='lower(trim(text))')} AS fingerprint
+FROM base""",
+        "exact_dup_groups": """
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+grp AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size FROM fp GROUP BY fp)
+SELECT doc_id, canonical_id, group_size FROM fp JOIN grp USING (fp)""",
+        "ngram_jaccard": f"""
+WITH {_SHINGLES2},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shin GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shin a JOIN shin b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(ROUND(1e9 * inter / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_ppb
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(1e9 * inter / (sa.sz + sb.sz - inter)) >= 0.05e9""",
+        "minhash_signatures": _minhash_sql(8),
+        "simhash_signatures": _simhash_sql(32),
+        "cosine_topk": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
+  FROM q, emb e WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS value_milli
+FROM events GROUP BY 1, 2""",
+    }
+)

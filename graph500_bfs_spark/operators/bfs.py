@@ -12,9 +12,17 @@ primitive:
   → ``groupBy(dst).agg(min(parent))`` — *deterministic* winner, a
   strengthening of the reference's arbitrary-winner contract (any valid
   parent passes Graph500 validation; min makes runs reproducible);
-* nq-stats Allreduce (…:1355-1418) → one tiny ``.agg().collect()``;
+* nq-stats Allreduce (…:1355-1418) → one tiny ``.agg().collect()`` per
+  superstep, fused: the frontier carries its degree so size and edge
+  count come from a single aggregate over already-materialized data;
 * direction switch alpha/beta (…:3413-3457, defaults
   /root/reference/mpi/parameters.h:96-98) → the same scalar formulas below.
+
+Superstep job budget: exactly TWO actions per level — (1) materialize the
+new frontier (join + partial-agg'd min + anti-join, one shuffle chain),
+(2) a scalar stats aggregate on the materialized frontier.  ``state`` is a
+union of per-level localCheckpoint'ed frontiers, so its lineage stays
+shallow without an O(|V|) rewrite per level.
 
 Scale notes (1000-executor / 10^12-edge view):
 
@@ -25,15 +33,15 @@ Scale notes (1000-executor / 10^12-edge view):
   skew on the build side.
 * Small frontiers broadcast (AQE / autoBroadcastJoinThreshold) — the analog
   of the reference's frontier-list allgather (bfs.hpp:680-696).
-* ``state`` is localCheckpoint'ed per superstep to truncate lineage; at
-  cluster scale the checkpoint manager (plans/checkpoint.py) persists it to
-  the warehouse instead, giving mid-iteration resume.
+* At cluster scale the checkpoint manager (plans/checkpoint.py) persists
+  state to the warehouse per superstep, giving mid-iteration resume.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,66 +73,70 @@ def bfs(
     checkpointer=None,
     run_id: str | None = None,
     resume: bool = False,
+    n_vertices: int | None = None,
+    m_edges: int | None = None,
 ) -> tuple[DataFrame, BfsMetrics]:
     """BFS from ``root`` over a symmetrized edge table ``(src, dst)``.
 
-    Returns ``(state, metrics)`` where ``state`` has schema
+    Returns ``(state, metrics)``; ``state`` has schema
     ``(v long, parent long, level int)`` covering exactly the reached
     vertices (use :func:`complete_result` to add unreached rows).
+    Pass precomputed ``n_vertices``/``m_edges`` (and a cached ``degrees``)
+    when running many roots over the same graph (Graph500 protocol).
     """
     spark = edges_sym.sparkSession
     from graph500_bfs_spark.operators.prep import out_degrees
 
-    deg = degrees if degrees is not None else out_degrees(edges_sym)
-    deg = deg.cache()
+    own_deg = degrees is None
+    deg = (degrees if degrees is not None else out_degrees(edges_sym)).cache()
 
-    stats = edges_sym.agg(
-        F.count("*").alias("m"), F.count_distinct("src").alias("n")
-    ).collect()[0]
-    m_total = int(stats["m"])  # directed copies
-    n_total = int(stats["n"])
+    if n_vertices is None or m_edges is None:
+        stats = deg.agg(F.count("*").alias("n"), F.sum("deg").alias("m")).collect()[0]
+        n_total, m_total = int(stats["n"]), int(stats["m"])
+    else:
+        n_total, m_total = n_vertices, m_edges
 
     metrics = BfsMetrics()
     t0 = time.perf_counter()
 
-    state = spark.createDataFrame(
-        [(int(root), int(root), 0)], "v long, parent long, level int"
-    ).localCheckpoint(eager=True)
-    frontier = state
+    deg_b = deg.select(F.col("v").alias("dv"), F.col("deg"))
+    frontier = (
+        spark.createDataFrame([(int(root), int(root), 0)], "v long, parent long, level int")
+        .join(deg_b, F.col("v") == F.col("dv"), "left")
+        .select("v", "parent", "level", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    pieces = [frontier]
     level = 0
     direction = "top_down"
-    visited_edges = 0  # Σ deg(visited) — proxy for remaining work
+    visited_edges = 0  # Σ deg(visited so far) — proxy for remaining work
+    row = frontier.agg(F.count("*"), F.sum("deg")).collect()[0]
+    nq, nq_edges = int(row[0]), int(row[1])
 
     if resume and checkpointer is not None and run_id is not None:
         loaded = checkpointer.load_superstep(run_id)
         if loaded is not None:
-            state, _step = loaded
-            state = state.localCheckpoint(eager=True)
-            level = int(state.agg(F.max("level")).collect()[0][0])
-            frontier = state.filter(F.col("level") == level).localCheckpoint(eager=True)
-            # rebuild Σ deg over vertices visited *before* the current frontier
-            visited_edges = int(
-                state.filter(F.col("level") < level)
-                .join(deg.withColumnRenamed("v", "dv"), F.col("v") == F.col("dv"), "left")
+            state_df, _step = loaded
+            state_df = (
+                state_df.join(deg_b, state_df["v"] == F.col("dv"), "left")
+                .select("v", "parent", "level", F.coalesce("deg", F.lit(0)).alias("deg"))
+                .localCheckpoint(eager=True)
+            )
+            level = int(state_df.agg(F.max("level")).collect()[0][0])
+            frontier = state_df.filter(F.col("level") == level).localCheckpoint(eager=True)
+            pieces = [state_df.filter(F.col("level") < level).localCheckpoint(eager=True), frontier]
+            row = (
+                pieces[0]
                 .agg(F.coalesce(F.sum("deg"), F.lit(0)))
-                .collect()[0][0]
+                .collect()[0]
             )
-            direction = "top_down" if level == 0 else (
-                checkpointer.metrics(run_id)[-1].get("direction", "top_down")
-            )
+            visited_edges = int(row[0])
+            fr = frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
+            nq, nq_edges = int(fr[0]), int(fr[1])
+            mrows = checkpointer.metrics(run_id)
+            direction = mrows[-1].get("direction", "top_down") if mrows else "top_down"
 
-    while level < max_levels:
-        fstats = (
-            frontier.join(deg, frontier["v"] == deg["v"], "left")
-            .agg(
-                F.count("*").alias("nq"),
-                F.coalesce(F.sum("deg"), F.lit(0)).alias("nq_edges"),
-            )
-            .collect()[0]
-        )
-        nq, nq_edges = int(fstats["nq"]), int(fstats["nq_edges"])
-        if nq == 0:
-            break
+    while level < max_levels and nq > 0:
         visited_edges += nq_edges
 
         # direction heuristic — same formulas as run_bfs_core
@@ -137,32 +149,41 @@ def bfs(
                 direction = "top_down"
 
         ts = time.perf_counter()
-        f_ids = frontier.select("v", "parent", "level").drop("parent", "level")
-        f_parents = frontier.select(F.col("v").alias("fv"))
+        state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
+        f_ids = frontier.select(F.col("v").alias("fv"))
 
         if direction == "top_down":
             # B2/B3: expand from the frontier
-            cand = edges_sym.join(
-                f_parents, edges_sym["src"] == F.col("fv"), "inner"
-            ).select(F.col("dst").alias("v"), F.col("src").alias("parent"))
+            cand = edges_sym.join(f_ids, edges_sym["src"] == F.col("fv")).select(
+                F.col("dst").alias("v"), F.col("src").alias("parent")
+            )
         else:
-            # B6/B7: drive from the unvisited side — join order puts the
-            # (now small) unvisited set first so the big frontier is probed
+            # B6/B7: drive from the unvisited side — the (small) unvisited
+            # vertex set restricts the edge scan before probing the frontier
             unvisited_edges = edges_sym.join(
                 state.select("v"), edges_sym["src"] == state["v"], "left_anti"
             )
-            cand = unvisited_edges.join(
-                f_parents, unvisited_edges["dst"] == F.col("fv"), "inner"
-            ).select(F.col("src").alias("v"), F.col("dst").alias("parent"))
+            cand = unvisited_edges.join(f_ids, unvisited_edges["dst"] == F.col("fv")).select(
+                F.col("src").alias("v"), F.col("dst").alias("parent")
+            )
 
         # deterministic first-writer-wins, map-side combined (hub-skew safe)
         winners = cand.groupBy("v").agg(F.min("parent").alias("parent"))
         new_frontier = (
             winners.join(state.select(F.col("v").alias("sv")), winners["v"] == F.col("sv"), "left_anti")
-            .select("v", "parent", F.lit(level + 1).cast("int").alias("level"))
-            .localCheckpoint(eager=True)
+            .join(deg_b, winners["v"] == F.col("dv"), "left")
+            .select(
+                "v",
+                "parent",
+                F.lit(level + 1).cast("int").alias("level"),
+                F.coalesce("deg", F.lit(0)).alias("deg"),
+            )
+            .localCheckpoint(eager=True)  # action 1: materialize frontier
         )
-        state = state.unionByName(new_frontier).localCheckpoint(eager=True)
+        # action 2: fused nq stats on materialized data (the Allreduce)
+        row = new_frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
+        new_nq, new_nq_edges = int(row[0]), int(row[1])
+
         elapsed = time.perf_counter() - ts
         metrics.supersteps.append(
             {
@@ -173,15 +194,22 @@ def bfs(
                 "elapsed_s": elapsed,
             }
         )
+        pieces.append(new_frontier)
         if checkpointer is not None:
-            checkpointer.save_superstep(run_id or f"bfs_{root}", level + 1, state, metrics.supersteps[-1])
+            full = reduce(DataFrame.unionByName, pieces).select("v", "parent", "level")
+            checkpointer.save_superstep(
+                run_id or f"bfs_{root}", level + 1, full, metrics.supersteps[-1]
+            )
         frontier = new_frontier
+        nq, nq_edges = new_nq, new_nq_edges
         level += 1
 
     metrics.total_time_s = time.perf_counter() - t0
     # V6-style traversed-edge count: Σ deg(v) over visited / 2
     metrics.traversed_edges = visited_edges // 2
-    deg.unpersist()
+    if own_deg:
+        deg.unpersist()
+    state = reduce(DataFrame.unionByName, pieces).select("v", "parent", "level")
     return state, metrics
 
 

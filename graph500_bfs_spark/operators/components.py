@@ -34,7 +34,8 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
         .select("v", F.col("v").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    while max_iter > 0:
+        max_iter -= 1
         nbr_min = (
             edges_sym.join(
                 labels.withColumnRenamed("v", "lv"), edges_sym["src"] == F.col("lv")
@@ -42,6 +43,8 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("component").alias("nbr"))
         )
+        # gather step materialized once (it feeds BOTH sides of the
+        # pointer-doubling self-join — without this it would evaluate twice)
         merged = (
             labels.join(nbr_min.withColumnRenamed("v", "nv"), labels["v"] == F.col("nv"), "left")
             .select(
@@ -49,9 +52,12 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
                 F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias(
                     "component"
                 ),
+                labels["component"].alias("old"),
             )
+            .localCheckpoint(eager=True)  # action 1
         )
-        # pointer doubling: component ← label(component)
+        # pointer doubling: component ← label(component), then fused change
+        # count in the same pass (action 2) — two actions per round total
         short = (
             merged.alias("a")
             .join(
@@ -64,19 +70,15 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
                 F.least(F.col("a.component"), F.coalesce(F.col("bc"), F.col("a.component"))).alias(
                     "component"
                 ),
+                F.col("a.old").alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # action 2
         )
-        changed = (
-            short.join(
-                labels.withColumnRenamed("v", "ov").withColumnRenamed("component", "oc"),
-                short["v"] == F.col("ov"),
-            )
-            .filter(F.col("component") != F.col("oc"))
-            .count()
-        )
-        labels = short
-        if changed == 0:
+        changed = short.agg(
+            F.sum((F.col("component") != F.col("old")).cast("long"))
+        ).collect()[0][0]
+        labels = short.drop("old")
+        if int(changed or 0) == 0:
             break
     return labels
 

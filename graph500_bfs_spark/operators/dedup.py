@@ -1,0 +1,242 @@
+"""Deduplication suite for training-data pipelines (exact + near-dup).
+
+Five methods, all declarative DataFrame plans (no per-row Python):
+
+* :func:`exact_dup_groups` — hash-groupBy on a content fingerprint.
+* :func:`shingle_table` — word n-gram shingling (windowed collect over a
+  posexplode — one shuffle per doc partition).
+* :func:`ngram_jaccard_pairs` — inverted-index self-join on shingles →
+  per-pair intersection counts → exact Jaccard.  The index join is the
+  scale-sensitive step: shingles shared by too many docs ("stop shingles")
+  are dropped with a frequency cap, the standard guard that keeps candidate
+  generation near-linear at 100 TB.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + banded
+  LSH.  Hash family h_i(s) = int64(md5(i ':' s)[0:15]) — chosen because
+  both Spark and DuckDB compute it identically, so the correctness gate
+  can verify the *whole pipeline* (signatures → bands → candidates →
+  verified Jaccard) against SQL.
+* :func:`simhash_signatures` / :func:`simhash_pairs` — 32-bit SimHash from
+  per-token md5 bits; near-dups = Hamming distance ≤ k via banded chunks +
+  ``bit_count(xor)``.
+
+Embedding-cosine near-dup lives in similarity.py (same candidate-pair
+machinery over LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHINGLE_N = 5
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 4  # 4 bands × 4 rows
+SIMHASH_BITS = 32
+
+
+def _hash15(col) -> F.Column:
+    """First 15 hex digits of md5 → int64 — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, group_size): exact-content duplicate groups."""
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    grp = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        fp.join(grp, "fp")
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+def shingle_table(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, n - 1)
+    sh = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.collect_list("tok").over(w)).alias("shingle"),
+        F.count("tok").over(w).alias("wlen"),
+    ).filter(F.col("wlen") == n)
+    return sh.select("doc_id", "shingle").distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.1,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_ppb) for pairs with Jaccard ≥ threshold.
+
+    ``max_shingle_freq`` drops stop-shingles before the self-join — at web
+    scale a shingle appearing in millions of docs would otherwise create a
+    quadratic candidate blowup; dropping it can only lower measured overlap
+    for pathological boilerplate, the standard engineering tradeoff.
+    """
+    sh = shingle_table(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_freq
+    )
+    sh_f = sh.join(freq_ok.select("shingle"), "shingle")
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")), "doc_b")
+        .withColumn(
+            "jaccard_ppb",
+            F.round(
+                F.lit(1e9) * F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_ppb") >= int(threshold * 1e9))
+        .select("doc_a", "doc_b", "jaccard_ppb")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature as k columns.
+
+    One shuffle: explode shingles × k hash functions is avoided — instead
+    each hash is a separate aggregate over the same shingle rows (k min
+    aggregates in one groupBy pass, map-side combined)."""
+    sh = shingle_table(docs, n)
+    aggs = [
+        F.min(_hash15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_N,
+    verify_threshold: float = 0.1,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    (doc_a, doc_b, jaccard_ppb) for candidates sharing ≥1 band bucket and
+    passing the verify threshold.  Band key = md5 of the band's hash
+    values; the bucket join only compares docs inside a bucket — the
+    near-linear scale path for near-dup detection at 100 TB.
+    """
+    sig = minhash_signatures(docs, k, n).cache()
+    rows_per_band = k // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.md5(F.concat_ws("_", F.lit(str(b)), *cols)).alias("bucket"),
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionByName(bf)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on shingles
+    sh = shingle_table(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")), "doc_b")
+        .filter(F.col("shingle") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")), "doc_b")
+        .withColumn(
+            "jaccard_ppb",
+            F.round(
+                F.lit(1e9) * F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_ppb") >= int(verify_threshold * 1e9))
+        .select("doc_a", "doc_b", "jaccard_ppb")
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — sign-aggregated token-hash bits.
+
+    Token hash = md5-prefix int64 (identical in DuckDB); bit j of the
+    signature is 1 iff Σ_tokens (2·bit_j(h)−1) > 0.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", _hash15(F.col("tok")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 6) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation by banded 8-bit chunks (pigeonhole: distance ≤ 6
+    over 4 chunks ⇒ some chunk equal), then exact bit_count verify.
+    """
+    sig = simhash_signatures(docs, bits).cache()
+    chunks = bits // 8
+    frames = []
+    for c in range(chunks):
+        frames.append(
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.concat(
+                    F.lit(f"{c}_"),
+                    (F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255))).cast("string"),
+                ).alias("bucket"),
+            )
+        )
+    buckets = frames[0]
+    for fr in frames[1:]:
+        buckets = buckets.unionByName(fr)
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

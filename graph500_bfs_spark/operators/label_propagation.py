@@ -43,10 +43,11 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.select(F.col("v"), F.col("label").alias("old"))
             .join(new_labels.withColumnRenamed("v", "nv"), F.col("v") == F.col("nv"), "left")
             .select("v", F.coalesce(F.col("label"), F.col("old")).alias("label"), F.col("old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # action 1: materialize round
         )
-        changed = merged.filter(F.col("label") != F.col("old")).count()
+        # action 2: fused scalar change count on materialized data
+        changed = merged.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
         labels = merged.drop("old")
-        if changed == 0:
+        if int(changed or 0) == 0:
             break
     return labels
