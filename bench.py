@@ -50,6 +50,7 @@ def run(sf_dir: str, master: str | None = None) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "bfs_levels":
             extras["bfs_reached"] = n
+        spark.catalog.clearCache()  # queries are independent; drop leftovers
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "headline_queries_total_runtime",

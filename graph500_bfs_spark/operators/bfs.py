@@ -51,6 +51,9 @@ DEFAULT_BETA = 14.0  # /root/reference/mpi/parameters.h:97
 DEFAULT_EDGEFACTOR = 16  # /root/reference/mpi/parameters.h:93
 
 
+from graph500_bfs_spark.operators._mem import CheckpointScope
+
+
 @dataclass
 class BfsMetrics:
     """Per-superstep telemetry (reference: profiling slots mpi/main.cc:872-938)."""
@@ -61,6 +64,27 @@ class BfsMetrics:
 
     def teps(self) -> float:
         return self.traversed_edges / self.total_time_s if self.total_time_s else 0.0
+
+
+def build_adjacency(edges_sym: DataFrame, degrees: DataFrame) -> DataFrame:
+    """Degree-annotated adjacency (src, dst, sdeg, ddeg), built ONCE per
+    graph and reused across roots/supersteps — the analog of the reference's
+    one-time CSR construction carrying per-row degrees
+    (/root/reference/mpi/graph_constructor.hpp:1009-1033).  Carrying both
+    endpoint degrees lets every superstep skip the degree join: frontier
+    stats ride along with the candidate tuples."""
+    d = degrees
+    return (
+        edges_sym.join(
+            d.select(F.col("v").alias("_sv"), F.col("deg").alias("sdeg")),
+            edges_sym["src"] == F.col("_sv"),
+        )
+        .join(
+            d.select(F.col("v").alias("_dv"), F.col("deg").alias("ddeg")),
+            edges_sym["dst"] == F.col("_dv"),
+        )
+        .select("src", "dst", "sdeg", "ddeg")
+    )
 
 
 def bfs(
@@ -75,6 +99,7 @@ def bfs(
     resume: bool = False,
     n_vertices: int | None = None,
     m_edges: int | None = None,
+    adjacency: DataFrame | None = None,
 ) -> tuple[DataFrame, BfsMetrics]:
     """BFS from ``root`` over a symmetrized edge table ``(src, dst)``.
 
@@ -96,8 +121,12 @@ def bfs(
     else:
         n_total, m_total = n_vertices, m_edges
 
+    own_adj = adjacency is None
+    adj = (adjacency if adjacency is not None else build_adjacency(edges_sym, deg)).cache()
+
     metrics = BfsMetrics()
     t0 = time.perf_counter()
+    scope = CheckpointScope(spark)
 
     deg_b = deg.select(F.col("v").alias("dv"), F.col("deg"))
     frontier = (
@@ -112,6 +141,7 @@ def bfs(
     visited_edges = 0  # Σ deg(visited so far) — proxy for remaining work
     row = frontier.agg(F.count("*"), F.sum("deg")).collect()[0]
     nq, nq_edges = int(row[0]), int(row[1])
+    visited_total = nq  # rows in state (the driver-side visited counter)
 
     if resume and checkpointer is not None and run_id is not None:
         loaded = checkpointer.load_superstep(run_id)
@@ -133,6 +163,7 @@ def bfs(
             visited_edges = int(row[0])
             fr = frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
             nq, nq_edges = int(fr[0]), int(fr[1])
+            visited_total = int(state_df.count())
             mrows = checkpointer.metrics(run_id)
             direction = mrows[-1].get("direction", "top_down") if mrows else "top_down"
 
@@ -152,32 +183,42 @@ def bfs(
         state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
         f_ids = frontier.select(F.col("v").alias("fv"))
 
+        # The driver knows the exact frontier/visited sizes (the reference's
+        # allreduced counters) — use them to place broadcast hints so the
+        # small side is ALWAYS the build side.  Catalyst's size estimate for
+        # a checkpointed frontier can otherwise pick the multi-million-row
+        # adjacency as the broadcast side, rebuilding that broadcast every
+        # superstep.  This is the Spark form of the reference's bitmap-vs-
+        # list frontier representation switch (mpi/bfs.hpp:3441-3456).
+        BCAST_LIMIT = 4_000_000
+        f_small = F.broadcast(f_ids) if nq < BCAST_LIMIT else f_ids
+        state_v = state.select(F.col("v").alias("sv"))
+        state_small = visited_total < BCAST_LIMIT
+
         if direction == "top_down":
-            # B2/B3: expand from the frontier
-            cand = edges_sym.join(f_ids, edges_sym["src"] == F.col("fv")).select(
-                F.col("dst").alias("v"), F.col("src").alias("parent")
+            # B2/B3: expand from the frontier; candidate carries the
+            # destination's degree so no per-level degree join is needed
+            cand = adj.join(f_small, adj["src"] == F.col("fv")).select(
+                F.col("dst").alias("v"), F.col("src").alias("parent"), F.col("ddeg").alias("deg")
             )
         else:
             # B6/B7: drive from the unvisited side — the (small) unvisited
             # vertex set restricts the edge scan before probing the frontier
-            unvisited_edges = edges_sym.join(
-                state.select("v"), edges_sym["src"] == state["v"], "left_anti"
-            )
-            cand = unvisited_edges.join(f_ids, unvisited_edges["dst"] == F.col("fv")).select(
-                F.col("src").alias("v"), F.col("dst").alias("parent")
+            anti_state = F.broadcast(state_v) if state_small else state_v
+            unvisited_edges = adj.join(anti_state, adj["src"] == F.col("sv"), "left_anti")
+            cand = unvisited_edges.join(f_small, unvisited_edges["dst"] == F.col("fv")).select(
+                F.col("src").alias("v"), F.col("dst").alias("parent"), F.col("sdeg").alias("deg")
             )
 
         # deterministic first-writer-wins, map-side combined (hub-skew safe)
-        winners = cand.groupBy("v").agg(F.min("parent").alias("parent"))
+        winners = cand.groupBy("v").agg(F.min("parent").alias("parent"), F.max("deg").alias("deg"))
         new_frontier = (
-            winners.join(state.select(F.col("v").alias("sv")), winners["v"] == F.col("sv"), "left_anti")
-            .join(deg_b, winners["v"] == F.col("dv"), "left")
-            .select(
-                "v",
-                "parent",
-                F.lit(level + 1).cast("int").alias("level"),
-                F.coalesce("deg", F.lit(0)).alias("deg"),
+            winners.join(
+                F.broadcast(state_v) if state_small else state_v,
+                winners["v"] == F.col("sv"),
+                "left_anti",
             )
+            .select("v", "parent", F.lit(level + 1).cast("int").alias("level"), "deg")
             .localCheckpoint(eager=True)  # action 1: materialize frontier
         )
         # action 2: fused nq stats on materialized data (the Allreduce)
@@ -202,6 +243,7 @@ def bfs(
             )
         frontier = new_frontier
         nq, nq_edges = new_nq, new_nq_edges
+        visited_total += new_nq
         level += 1
 
     metrics.total_time_s = time.perf_counter() - t0
@@ -209,7 +251,14 @@ def bfs(
     metrics.traversed_edges = visited_edges // 2
     if own_deg:
         deg.unpersist()
-    state = reduce(DataFrame.unionByName, pieces).select("v", "parent", "level")
+    if own_adj:
+        adj.unpersist()
+    # consolidate the result into ONE fresh checkpoint, then free every
+    # per-superstep checkpoint this run created — without this, repeated
+    # roots accumulate O(levels) persisted RDDs per run and GC pressure
+    # degrades later runs (the reference reuses preallocated buffers per
+    # root for the same reason, mpi/bfs.hpp:315)
+    state = scope.finalize(reduce(DataFrame.unionByName, pieces).select("v", "parent", "level"))
     return state, metrics
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators._mem import CheckpointScope
+
 
 def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame:
     """components(v, component) over a symmetrized edge table.
@@ -27,6 +29,7 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
     then shortcut via label-of-label join (pointer doubling).  Convergence
     checked with a scalar count of changed labels (driver allreduce).
     """
+    scope = CheckpointScope(edges_sym.sparkSession)
     labels = (
         edges_sym.select(F.col("src").alias("v"))
         .union(edges_sym.select(F.col("dst").alias("v")))
@@ -80,7 +83,7 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
         labels = short.drop("old")
         if int(changed or 0) == 0:
             break
-    return labels
+    return scope.finalize(labels)
 
 
 def prune_trees(edges_sym: DataFrame, max_iter: int = 32) -> tuple[DataFrame, DataFrame]:

@@ -15,9 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators._mem import CheckpointScope
+
 
 def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
     """labels(v, label) over a symmetrized edge table; init label = v."""
+    scope = CheckpointScope(edges_sym.sparkSession)
     labels = (
         edges_sym.select(F.col("src").alias("v"))
         .union(edges_sym.select(F.col("dst").alias("v")))
@@ -50,4 +53,4 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = merged.drop("old")
         if int(changed or 0) == 0:
             break
-    return labels
+    return scope.finalize(labels)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators._mem import CheckpointScope
+
 
 def pagerank(
     edges: DataFrame,
@@ -38,6 +40,7 @@ def pagerank(
     exactly ``max_iter`` iterations (deterministic oracle-comparison mode).
     Σ score ≡ 1 throughout (dangling mass redistributed uniformly).
     """
+    scope = CheckpointScope(edges.sparkSession)
     e = edges.select("src", "dst")
     vertices = (
         e.select(F.col("src").alias("v"))
@@ -54,38 +57,47 @@ def pagerank(
     )
     links.count()
     vdom = vertices.join(outdeg, vertices["v"] == F.col("ov"), "left").select(
-        "v", F.col("outdeg").isNull().alias("is_dangling")
+        "v", F.col("outdeg").isNull().cast("int").alias("dang")
     ).cache()
 
-    ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "is_dangling").localCheckpoint(True)
+    # broadcast the rank vector into the links join while it fits (~16 B/row);
+    # beyond that AQE picks the shuffle join — the cluster-scale path
+    bcast_ranks = n * 32 < 512 * 1024 * 1024
+
+    ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "dang").localCheckpoint(True)
     dangling = float(
-        ranks.filter("is_dangling").agg(F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
+        ranks.filter("dang = 1").agg(F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
     )
 
     for it in range(max_iter):
-        contribs = (
-            links.join(ranks.withColumnRenamed("v", "rv"), links["src"] == F.col("rv"))
-            .select(F.col("dst").alias("cv"), (F.col("score") / F.col("outdeg")).alias("c"))
-            .groupBy("cv")
-            .agg(F.sum("c").alias("contrib"))
-        )
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            ranks.join(contribs, ranks["v"] == F.col("cv"), "left")
+        r = F.broadcast(ranks) if bcast_ranks else ranks
+        # stacked union-aggregate: contribution rows and carry-over rows of
+        # the old score collapse in ONE shuffle (no join back to the domain)
+        contribs = (
+            links.join(r.withColumnRenamed("v", "rv"), links["src"] == F.col("rv"))
             .select(
-                ranks["v"],
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "score"
-                ),
-                "is_dangling",
-                ranks["score"].alias("old"),
+                F.col("dst").alias("v"),
+                (F.col("score") / F.col("outdeg")).alias("c"),
+                F.lit(0.0).alias("o"),
+                F.lit(0).alias("dang"),
             )
-            .localCheckpoint(eager=True)
         )
-        # ONE fused driver action: convergence delta + next-iteration dangling mass
+        carry = ranks.select("v", F.lit(0.0).alias("c"), F.col("score").alias("o"), "dang")
+        new_ranks = (
+            contribs.unionByName(carry)
+            .groupBy("v")
+            .agg(
+                (F.lit(base) + F.lit(damping) * F.sum("c")).alias("score"),
+                F.sum("o").alias("old"),
+                F.max("dang").alias("dang"),
+            )
+            .localCheckpoint(eager=True)  # action 1: ONE shuffle
+        )
+        # action 2: fused scalar (convergence delta + next dangling mass)
         row = new_ranks.agg(
             F.sum(F.abs(F.col("score") - F.col("old"))).alias("delta"),
-            F.coalesce(F.sum(F.when(F.col("is_dangling"), F.col("score"))), F.lit(0.0)).alias(
+            F.coalesce(F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)).alias(
                 "dangling"
             ),
         ).collect()[0]
@@ -93,7 +105,7 @@ def pagerank(
         ranks = new_ranks.drop("old")
         if checkpointer is not None:
             checkpointer.save_superstep(
-                run_id or "pagerank", it + 1, ranks.drop("is_dangling"),
+                run_id or "pagerank", it + 1, ranks.drop("dang"),
                 {"superstep": it, "direction": "pagerank", "frontier_size": n,
                  "frontier_edges": 0, "elapsed_s": 0.0, "delta": delta},
             )
@@ -102,4 +114,4 @@ def pagerank(
     vertices.unpersist()
     links.unpersist()
     vdom.unpersist()
-    return ranks.select("v", "score")
+    return scope.finalize(ranks.select("v", "score"))
