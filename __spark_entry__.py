@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": gate.q_simhash_signatures,
         "cosine_topk": gate.q_cosine_topk,
         "events_hourly": gate.q_events_hourly,
+        "sessionize": gate.q_sessionize,
         # rows-only (no SQL-expressible oracle): LSH variants, generators
         "minhash_lsh_pairs": gate.q_minhash_lsh_pairs,
         "lsh_topk": gate.q_lsh_topk,

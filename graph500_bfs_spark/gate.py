@@ -434,3 +434,37 @@ SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
 FROM events GROUP BY 1, 2""",
     }
 )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sessionization operator (30-min gap)."""
+    from graph500_bfs_spark.streaming.events import sessionize_batch
+
+    s = sessionize_batch(_read(spark, sf_dir, "events"))
+    return s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round(F.col("total_value") * 1000).cast("long").alias("value_milli"),
+    )
+
+
+ORACLES["sessionize"] = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1
+              WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS value_milli
+FROM sess GROUP BY user_id, sess_id
+"""

@@ -42,9 +42,9 @@ def sample_roots(
     counter = 0
     while len(roots) < n_roots:
         batch = np.arange(counter, counter + 4 * n_roots, dtype=np.uint64)
-        cands = (
-            _mix64(batch + np.uint64(seed1 * 0x9E3779B97F4A7C15 + seed2)) % np.uint64(max_vertex)
-        ).astype(np.int64)
+        salt = np.uint64((seed1 * 0x9E3779B97F4A7C15 + seed2) & 0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):  # intended mod-2^64 wraparound
+            cands = (_mix64(batch + salt) % np.uint64(max_vertex)).astype(np.int64)
         counter += 4 * n_roots
         cand_df = degrees.sparkSession.createDataFrame(
             [(int(c),) for c in dict.fromkeys(cands)], "v long"

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a struct of
+metadata.  The Spark-side machinery — schema, partitioning, Arrow batch
+shape, vectorized UDF signatures — is real and tested; the actual codec
+calls are STUBBED (this container has no image/audio libraries): decode
+parses a deterministic fake header, feature extraction digests payload
+bytes.  Swapping in PIL/ffmpeg is confined to the two marked functions.
+
+Header layout (fake, deterministic): magic 4B 'G5MM' | media_type 1B
+(0=image,1=audio,2=video) | width int16 | height int16 | duration_ms int32.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "doc_id long, media_type string, payload binary"
+META_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, duration_ms int, n_bytes long"
+)
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id long, features array<float>"
+_MAGIC = b"G5MM"
+_TYPES = ["image", "audio", "video"]
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media per document (pure function of doc_id/text).
+
+    Vectorized mapInPandas: payload = header + repeated md5 keystream —
+    stands in for real blobs while exercising the binary-column path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = int(doc_id) % 3
+                w = 16 + (int(doc_id) * 7) % 240
+                h = 16 + (int(doc_id) * 13) % 240
+                dur = (int(doc_id) * 37) % 60000
+                header = _MAGIC + struct.pack("<BhhI", t, w, h, dur)
+                seed = hashlib.md5(str(text).encode()).digest()
+                body = (seed * ((w * h) // 16 + 1))[: w * h]
+                payloads.append(header + body)
+                types.append(_TYPES[t])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": types, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Parse typed metadata out of the binary column (vectorized).
+
+    REAL-CODEC STUB: for actual JPEG/WAV/MP4, replace the header parse with
+    PIL.Image.open / soundfile / pyav here — signature and batching stay."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_type": [], "width": [], "height": [],
+                    "duration_ms": [], "n_bytes": []}
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != _MAGIC:
+                    raise NotImplementedError(
+                        "real codec decode not available in this container; "
+                        "only G5MM fake headers are supported"
+                    )
+                t, w, h, dur = struct.unpack("<BhhI", b[4:13])
+                rows["doc_id"].append(int(doc_id))
+                rows["media_type"].append(mt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(int(dur))
+                rows["n_bytes"].append(len(b))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(parse, META_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """FEATURE_DIM-float embedding per payload (digest-based deterministic
+    fake; a real model forward pass slots into the same mapInPandas)."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.empty((len(pdf), FEATURE_DIM), dtype=np.float32)
+            for i, payload in enumerate(pdf["payload"]):
+                d = hashlib.md5(bytes(payload)).digest()
+                out[i] = np.frombuffer(d[: FEATURE_DIM * 2], dtype=np.uint16).astype(
+                    np.float32
+                ) / 65535.0
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": [row for row in out]}
+            )
+
+    return media.mapInPandas(feat, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL-CODEC STUB: raises for non-fake payloads; for fake payloads
+    rewrites the header dims (plumbing test of binary transform)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if b[:4] != _MAGIC:
+                    raise NotImplementedError("real image resize requires PIL")
+                t = b[4:5]
+                dur = b[9:13]
+                payloads.append(_MAGIC + t + struct.pack("<hh", width, height) + dur + b[13:])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"], "payload": payloads}
+            )
+
+    return media.mapInPandas(rs, MEDIA_SCHEMA)

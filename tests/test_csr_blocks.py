@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph500_bfs_spark.operators.bfs import bfs
+from graph500_bfs_spark.operators.csr_blocks import bfs_blocks, build_blocks
+from graph500_bfs_spark.operators.prep import out_degrees, vertex_ids
+from graph500_bfs_spark.operators.validate import assert_valid_bfs
+from graph500_bfs_spark.operators.bfs import complete_result
+from tests import oracles
+from tests.conftest import (
+    HUB_SKEW,
+    PATH_GRAPH,
+    STAR_GRAPH,
+    TRIANGLE_PENDANT,
+    TWO_COMPONENTS,
+    edges_df,
+)
+
+
+@pytest.mark.parametrize(
+    "pairs,root",
+    [
+        (PATH_GRAPH, 0),
+        (STAR_GRAPH, 3),
+        (TWO_COMPONENTS, 10),
+        (TRIANGLE_PENDANT, 3),
+        (HUB_SKEW, 4),
+    ],
+)
+def test_bfs_blocks_matches_join_bfs(spark, pairs, root):
+    es = edges_df(spark, pairs).cache()
+    deg = out_degrees(es).cache()
+    n = deg.count()
+    m = es.count()
+    blocks = build_blocks(es, num_blocks=4).cache()
+    state_b, _ = bfs_blocks(blocks, root, n_vertices=n, m_edges=m, degrees=deg)
+    got = {(r["v"], r["parent"], r["level"]) for r in state_b.collect()}
+
+    state_j, _ = bfs(es, root, degrees=deg, n_vertices=n, m_edges=m)
+    want = {(r["v"], r["parent"], r["level"]) for r in state_j.collect()}
+    assert got == want  # identical deterministic min-parent contract
+
+    res = complete_result(state_b, vertex_ids(es))
+    assert_valid_bfs(res, es, root)
+    assert {r["v"]: r["level"] for r in state_b.collect()} == oracles.bfs_levels(pairs, root)
+
+
+def test_bfs_blocks_kronecker(spark):
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+    from graph500_bfs_spark.operators.prep import symmetrize
+
+    es = symmetrize(kronecker_edges(spark, scale=8, edgefactor=8), dedup=False).cache()
+    deg = out_degrees(es).cache()
+    n, m = deg.count(), es.count()
+    root = int(deg.orderBy(F.desc("deg")).limit(1).collect()[0]["v"])
+    blocks = build_blocks(es, num_blocks=8).cache()
+    state_b, met = bfs_blocks(blocks, root, n_vertices=n, m_edges=m, degrees=deg)
+    state_j, _ = bfs(es, root, degrees=deg, n_vertices=n, m_edges=m)
+    got = {(r["v"], r["level"]) for r in state_b.select("v", "level").collect()}
+    want = {(r["v"], r["level"]) for r in state_j.select("v", "level").collect()}
+    assert got == want
+    # direction optimization should kick in from a hub root on R-MAT
+    assert any(s["direction"] == "bottom_up" for s in met.supersteps)

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph500_bfs_spark.operators.multimodal import (
+    decode_metadata,
+    extract_features,
+    resize_images,
+    synthesize_media,
+)
+from graph500_bfs_spark.streaming.events import (
+    hourly_rollup,
+    read_event_stream,
+    sessionize,
+    sessionize_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_rollup_equals_batch(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "events_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    q = (
+        hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_milli"])
+        for r in spark.sql("select * from rollup").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_milli"])
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 1000).cast("long").alias("value_milli"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize_runs(spark, tmp_path):
+    """applyInPandasWithState wiring: stream emits completed sessions that
+    are a subset of the batch sessionization (open sessions stay in state)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "events_src2")
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev).collect()
+    }
+    # every emitted (closed) session must match the batch oracle exactly
+    assert got <= want
+    # the batch-minus-stream remainder is only the per-user final sessions
+    # (not yet closed by a later event / timeout in availableNow mode)
+    leftover_users = {u for (u, *_rest) in want - got}
+    per_user_last = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.desc("session_end"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    }
+    assert (want - got) <= per_user_last
+    assert len(leftover_users) == len(want - got)  # ≤1 open session per user
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = synthesize_media(docs).cache()
+    assert media.count() == 50
+    assert dict(media.dtypes)["payload"] == "binary"
+
+    meta = decode_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["media_type"] in ("image", "audio", "video")
+        assert 16 <= r["width"] <= 256 and 16 <= r["height"] <= 256
+        assert r["n_bytes"] > 13
+
+    feats = extract_features(media).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
+    # determinism
+    feats2 = extract_features(media).collect()
+    assert {r["doc_id"]: list(r["features"]) for r in feats} == {
+        r["doc_id"]: list(r["features"]) for r in feats2
+    }
+
+    resized = decode_metadata(resize_images(media, 32, 24)).collect()
+    assert all(r["width"] == 32 and r["height"] == 24 for r in resized)
