@@ -43,7 +43,7 @@ import time
 from dataclasses import dataclass, field
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 DEFAULT_ALPHA = 10.0  # /root/reference/mpi/parameters.h:96
@@ -190,10 +190,15 @@ def bfs(
         # adjacency as the broadcast side, rebuilding that broadcast every
         # superstep.  This is the Spark form of the reference's bitmap-vs-
         # list frontier representation switch (mpi/bfs.hpp:3441-3456).
-        BCAST_LIMIT = 4_000_000
-        f_small = F.broadcast(f_ids) if nq < BCAST_LIMIT else f_ids
+        # frontier broadcasts are cheap (one level's vertices); the visited
+        # state grows to |V| — collecting it to the driver every superstep
+        # is an O(|V|) serial term, so past a modest size the anti-join
+        # switches to the (fully parallel) shuffle formulation
+        F_BCAST_LIMIT = 4_000_000
+        S_BCAST_LIMIT = 1_000_000
+        f_small = F.broadcast(f_ids) if nq < F_BCAST_LIMIT else f_ids
         state_v = state.select(F.col("v").alias("sv"))
-        state_small = visited_total < BCAST_LIMIT
+        state_small = visited_total < S_BCAST_LIMIT
 
         if direction == "top_down":
             # B2/B3: expand from the frontier; candidate carries the
@@ -212,6 +217,7 @@ def bfs(
 
         # deterministic first-writer-wins, map-side combined (hub-skew safe)
         winners = cand.groupBy("v").agg(F.min("parent").alias("parent"), F.max("deg").alias("deg"))
+        obs = Observation(f"bfs_l{level}")
         new_frontier = (
             winners.join(
                 F.broadcast(state_v) if state_small else state_v,
@@ -219,11 +225,13 @@ def bfs(
                 "left_anti",
             )
             .select("v", "parent", F.lit(level + 1).cast("int").alias("level"), "deg")
-            .localCheckpoint(eager=True)  # action 1: materialize frontier
+            # the nq-stats Allreduce rides the SAME job as the frontier
+            # materialization via observed metrics — ONE action per superstep
+            .observe(obs, F.count(F.lit(1)).alias("nq"), F.sum("deg").alias("nq_edges"))
+            .localCheckpoint(eager=True)
         )
-        # action 2: fused nq stats on materialized data (the Allreduce)
-        row = new_frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
-        new_nq, new_nq_edges = int(row[0]), int(row[1])
+        stats = obs.get
+        new_nq, new_nq_edges = int(stats["nq"] or 0), int(stats["nq_edges"] or 0)
 
         elapsed = time.perf_counter() - ts
         metrics.supersteps.append(

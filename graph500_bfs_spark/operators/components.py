@@ -119,3 +119,120 @@ def prune_trees(edges_sym: DataFrame, max_iter: int = 32) -> tuple[DataFrame, Da
             .localCheckpoint(eager=True)
         )
     return edges, tree_parents
+
+
+def tree_levels(tree_parents: DataFrame, base_levels: DataFrame, max_hops: int = 40) -> DataFrame:
+    """Exact BFS levels for pruned tree vertices by iterative ascent.
+
+    The reference defers tree depths to validation-time fixpoint
+    (level written as 0xffff, /root/reference/mpi/corebfs_adaptor.hpp:285-301);
+    we compute them eagerly: repeatedly join unresolved tree vertices to
+    resolved ones through ``tree_parents`` (≤ max_hops rounds — forest
+    paths are short on R-MAT, cf. corebfs.hpp:125-157 comment).
+
+    Returns (v, parent, level) rows for the tree vertices reachable from
+    the base (core) level set.
+    """
+    resolved = base_levels.select(F.col("v").alias("rv"), F.col("level").alias("rlevel"))
+    pending = tree_parents.localCheckpoint(eager=True)
+    out = None
+    for _ in range(max_hops):
+        if pending.isEmpty():
+            break
+        hit = (
+            pending.join(resolved, pending["parent"] == F.col("rv"))
+            .select("v", "parent", (F.col("rlevel") + 1).cast("int").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if hit.isEmpty():
+            break
+        out = hit if out is None else out.unionByName(hit)
+        pending = pending.join(
+            hit.select(F.col("v").alias("hv")), pending["v"] == F.col("hv"), "left_anti"
+        ).localCheckpoint(eager=True)
+        resolved = hit.select(F.col("v").alias("rv"), F.col("level").alias("rlevel"))
+    if out is None:
+        spark = tree_parents.sparkSession
+        return spark.createDataFrame([], "v long, parent long, level int")
+    return out
+
+
+def bfs_with_corebfs(edges_sym: DataFrame, root: int, **bfs_kwargs):
+    """CoreBFS pipeline (reference -C mode, §2.4 C1–C4): prune the tree
+    forest, BFS only the 2-core, then splice exact tree levels back.
+
+    If the root itself is a tree vertex, ascend its (short) tree path to
+    the core (C2, corebfs.hpp:125-157) and seed the core BFS at the
+    ascent depth; the walked path is spliced in with exact levels.
+    """
+    from graph500_bfs_spark.operators.bfs import bfs
+
+    spark = edges_sym.sparkSession
+    core_edges, tree_parents = prune_trees(edges_sym)
+    tree_parents = tree_parents.cache()
+
+    # C2: ascend root→core through tree_parents (driver-side point lookups;
+    # path length is tiny — ≤ prune iterations)
+    path = []  # [(vertex, depth-from-root)]
+    cur = int(root)
+    depth = 0
+    tp = {r["v"]: r["parent"] for r in tree_parents.collect()} if tree_parents.count() < 5_000_000 else None
+    if tp is None:
+        raise NotImplementedError("driver-side ascent map exceeds budget; use join ascent")
+    while cur in tp:
+        path.append((cur, depth))
+        cur = tp[cur]
+        depth += 1
+    core_root = cur
+    core_has_edges = not core_edges.filter(F.col("src") == core_root).isEmpty()
+
+    if core_has_edges:
+        state_core, metrics = bfs(core_edges, core_root, **bfs_kwargs)
+        # shift core levels by the root's ascent depth
+        if depth:
+            state_core = state_core.select(
+                "v", "parent", (F.col("level") + depth).cast("int").alias("level")
+            )
+    else:
+        state_core = spark.createDataFrame(
+            [(core_root, core_root, depth)], "v long, parent long, level int"
+        )
+        from graph500_bfs_spark.operators.bfs import BfsMetrics
+
+        metrics = BfsMetrics()
+
+    # root-side path splice: vertices on the ascent get exact levels, and
+    # parents pointing AWAY from the root (down the walked path)
+    if path:
+        rows = []
+        prev = None
+        for v, d in path:
+            rows.append((v, v if prev is None else prev, d))
+            prev = v
+        # core_root's parent is the last path vertex (it was reached from it)
+        path_df = spark.createDataFrame(rows, "v long, parent long, level int")
+        # fix root row: parent = root (Graph500 contract)
+        state_core = state_core.join(
+            path_df.select(F.col("v").alias("pv")), F.col("v") == F.col("pv"), "left_anti"
+        ).unionByName(path_df)
+        # core_root was seeded as its own parent inside bfs; repoint it to
+        # the path predecessor so V5 (tree edge exists) holds
+        pred_of_core_root = path[-1][0]
+        state_core = state_core.withColumn(
+            "parent",
+            F.when(
+                (F.col("v") == core_root) & (F.col("level") == depth), F.lit(pred_of_core_root)
+            ).otherwise(F.col("parent")),
+        )
+
+    # C3 splice + C4: tree vertices reachable from the BFS'd levels
+    base = state_core.select("v", "level")
+    spliced = tree_levels(
+        tree_parents.join(
+            state_core.select(F.col("v").alias("sv")), tree_parents["v"] == F.col("sv"), "left_anti"
+        ),
+        base,
+    )
+    result = state_core.unionByName(spliced)
+    tree_parents.unpersist()
+    return result, metrics

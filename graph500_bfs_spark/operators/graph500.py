@@ -94,3 +94,70 @@ def teps_stats(traversed_edges: list[int], times_s: list[float]) -> dict:
     s = summary_stats(list(teps))
     s.update({"harmonic_mean_TEPS": float(hmean), "harmonic_stddev_TEPS": float(hstd)})
     return s
+
+
+def run_graph500_benchmark(
+    spark,
+    scale: int,
+    edgefactor: int = 16,
+    n_roots: int = TEST_BFS_ROOTS,
+    extra_edges: DataFrame | None = None,
+    validate: bool = False,
+    min_levels_repick: int = 3,
+) -> dict:
+    """The full benchmark protocol of mpi/main.cc:393-714 as one callable:
+    generate → symmetrize → degree/adjacency build → sample roots (with the
+    small-component re-pick of T2, mpi/main.cc:334-359) → per-root timed BFS
+    (+ optional five-check validation) → harmonic-mean TEPS report."""
+    import time as _time
+
+    from graph500_bfs_spark.operators.bfs import bfs, build_adjacency, complete_result
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize, vertex_ids
+    from graph500_bfs_spark.operators.validate import assert_valid_bfs
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    t0 = _time.perf_counter()
+    edges = kronecker_edges(spark, scale, edgefactor)
+    if extra_edges is not None:
+        edges = edges.unionByName(extra_edges.select("src", "dst"))
+    es = symmetrize(edges, dedup=False).cache()
+    m_dir = es.count()
+    deg = out_degrees(es).cache()
+    n_total = deg.count()
+    adj = build_adjacency(es, deg).cache()
+    adj.count()
+    construction_s = _time.perf_counter() - t0
+
+    seed_bump = 0
+    while True:
+        roots = sample_roots(deg, n_roots, seed1=2 + seed_bump, seed2=3 + seed_bump,
+                             max_vertex=1 << scale)
+        times, nedges, levels = [], [], []
+        for r in roots:
+            state, met = bfs(es, r, degrees=deg, n_vertices=n_total, m_edges=m_dir,
+                             adjacency=adj)
+            times.append(met.total_time_s)
+            nedges.append(met.traversed_edges)
+            levels.append(len(met.supersteps))
+            if validate:
+                res = complete_result(state, vertex_ids(es))
+                assert_valid_bfs(res, es, r)
+        # T2: if any root's BFS ended at ≤3 levels (tiny component), resample
+        # the whole root set with bumped seeds (mpi/main.cc:334-359)
+        if scale <= 6 or all(lv > min_levels_repick for lv in levels) or seed_bump >= 3:
+            break
+        seed_bump += 1
+
+    stats = teps_stats(nedges, times)
+    return {
+        "scale": scale,
+        "edgefactor": edgefactor,
+        "n_vertices": n_total,
+        "m_directed": m_dir,
+        "n_roots": len(roots),
+        "construction_s": construction_s,
+        "bfs_times_s": times,
+        "traversed_edges": nedges,
+        "levels": levels,
+        **{f"TEPS_{k}": v for k, v in stats.items()},
+    }

@@ -65,9 +65,11 @@ def pagerank(
     bcast_ranks = n * 32 < 512 * 1024 * 1024
 
     ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "dang").localCheckpoint(True)
-    dangling = float(
-        ranks.filter("dang = 1").agg(F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
-    )
+    n_dangling = vdom.filter("dang = 1").count()
+    dangling = n_dangling / n
+    # fixed-iteration mode on a dangling-free graph needs NO scalar action
+    # per iteration at all — the checkpoint materialization is the only job
+    skip_scalar = tol is None and n_dangling == 0
 
     for it in range(max_iter):
         base = (1.0 - damping) / n + damping * dangling / n
@@ -94,14 +96,17 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # action 1: ONE shuffle
         )
-        # action 2: fused scalar (convergence delta + next dangling mass)
-        row = new_ranks.agg(
-            F.sum(F.abs(F.col("score") - F.col("old"))).alias("delta"),
-            F.coalesce(F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)).alias(
-                "dangling"
-            ),
-        ).collect()[0]
-        delta, dangling = float(row["delta"]), float(row["dangling"])
+        if skip_scalar:
+            delta = float("inf")
+        else:
+            # action 2: fused scalar (convergence delta + next dangling mass)
+            row = new_ranks.agg(
+                F.sum(F.abs(F.col("score") - F.col("old"))).alias("delta"),
+                F.coalesce(F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)).alias(
+                    "dangling"
+                ),
+            ).collect()[0]
+            delta, dangling = float(row["delta"]), float(row["dangling"])
         ranks = new_ranks.drop("old")
         if checkpointer is not None:
             checkpointer.save_superstep(

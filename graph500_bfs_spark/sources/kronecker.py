@@ -147,3 +147,37 @@ def kronecker_edges(
 
     df = spark.range(0, m, numPartitions=parts).mapInArrow(gen, "src long, dst long")
     return df
+
+
+def initial_edges(
+    spark: SparkSession,
+    scale: int,
+    kind: str = "binary_tree",
+    seed1: int = USERSEED1,
+    seed2: int = USERSEED2,
+) -> DataFrame:
+    """S4 — optional connectivity-guaranteeing seed edges (spec2012 path,
+    cf. generateInitialEdge /root/reference/generator/graph_generator.hpp:685-716):
+    scrambled binary-tree or Hamiltonian-cycle edges over [0, 2^scale)."""
+    n = 1 << scale
+    out_schema = pa.schema([pa.field("src", pa.int64()), pa.field("dst", pa.int64())])
+
+    def gen(batches):
+        for batch in batches:
+            i = batch.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            if kind == "binary_tree":
+                a, b = i + np.uint64(1), (i + np.uint64(1)) >> np.uint64(1)
+            elif kind == "hamiltonian_cycle":
+                a, b = i, (i + np.uint64(1)) % np.uint64(n)
+            else:
+                raise ValueError(kind)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(scramble(a, scale, seed1, seed2), pa.int64()),
+                    pa.array(scramble(b, scale, seed1, seed2), pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    m = n - 1 if kind == "binary_tree" else n
+    return spark.range(0, m).mapInArrow(gen, "src long, dst long")

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import pytest
+
+from graph500_bfs_spark.operators.bfs import complete_result
+from graph500_bfs_spark.operators.components import bfs_with_corebfs
+from graph500_bfs_spark.operators.prep import vertex_ids
+from graph500_bfs_spark.operators.validate import assert_valid_bfs
+from tests import oracles
+from tests.conftest import PATH_GRAPH, TRIANGLE_PENDANT, TWO_COMPONENTS, edges_df
+
+# triangle core with a two-hop tail and a star hanging off it:
+#   0-1-2 triangle; 2-3-4 tail; 4-{5,6,7} star
+CORE_TAIL = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (4, 6), (4, 7)]
+
+
+@pytest.mark.parametrize(
+    "pairs,root",
+    [
+        (CORE_TAIL, 0),   # core root
+        (CORE_TAIL, 7),   # leaf root — full ascent through 4, 3, 2
+        (CORE_TAIL, 3),   # mid-tail root
+        (PATH_GRAPH, 2),  # all-tree graph
+        (TRIANGLE_PENDANT, 3),
+        (TWO_COMPONENTS, 0),  # unreachable component must stay out (C4)
+    ],
+)
+def test_corebfs_matches_plain_bfs_levels(spark, pairs, root):
+    es = edges_df(spark, pairs)
+    state, _ = bfs_with_corebfs(es, root)
+    got = {r["v"]: r["level"] for r in state.collect()}
+    assert got == oracles.bfs_levels(pairs, root)
+    res = complete_result(state, vertex_ids(es))
+    assert_valid_bfs(res, es, root)
