@@ -1,0 +1,141 @@
+"""Cluster job entry point — ``spark-submit --py-files graph500_bfs_spark.zip
+jobs/linkgraph_job.py <algo> [options]`` (north-rule shipping contract).
+
+Algorithms: derive-edges | bfs | corebfs | pagerank | cc | lpa | triangles |
+graph500.  Input is either a transcript table (parquet/Iceberg path) or a
+generated Kronecker graph; results and per-superstep metrics land in the
+warehouse (Iceberg catalog if configured, parquet dirs otherwise).
+
+Example (cluster):
+    spark-submit --master yarn --num-executors 256 \\
+        --py-files graph500_bfs_spark.zip jobs/linkgraph_job.py \\
+        bfs --transcripts s3://bucket/transcripts --root auto \\
+        --warehouse s3://bucket/wh --checkpoint-dir s3://bucket/ck
+
+Example (local sandbox):
+    python jobs/linkgraph_job.py graph500 --scale 16 --roots 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("algo", choices=[
+        "derive-edges", "bfs", "corebfs", "pagerank", "cc", "lpa",
+        "triangles", "graph500",
+    ])
+    p.add_argument("--transcripts", help="transcript table path (input_hint schema)")
+    p.add_argument("--edges", help="pre-derived edge table path (src,dst)")
+    p.add_argument("--scale", type=int, default=16, help="Kronecker scale if no input")
+    p.add_argument("--edgefactor", type=int, default=16)
+    p.add_argument("--roots", type=int, default=4)
+    p.add_argument("--root", default="auto")
+    p.add_argument("--warehouse", default="/tmp/spark_graft_wh")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--max-iter", type=int, default=50)
+    args = p.parse_args(argv)
+
+    from graph500_bfs_spark.plans.checkpoint import CheckpointManager
+    from graph500_bfs_spark.plans.warehouse import Warehouse
+    from graph500_bfs_spark.session import get_spark
+
+    spark = get_spark(app_name=f"linkgraph_{args.algo}")
+    wh = Warehouse(spark, args.warehouse)
+    ck = CheckpointManager(args.checkpoint_dir, spark) if args.checkpoint_dir else None
+
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+
+    def load_edges():
+        if args.edges:
+            return spark.read.parquet(args.edges).select("src", "dst")
+        if args.transcripts:
+            from graph500_bfs_spark.sources.edges import derive_edges
+
+            t = spark.read.parquet(args.transcripts)
+            return derive_edges(t).select("src", "dst")
+        from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+        return kronecker_edges(spark, args.scale, args.edgefactor)
+
+    t0 = time.perf_counter()
+    result = {"algo": args.algo}
+
+    if args.algo == "derive-edges":
+        from graph500_bfs_spark.sources.edges import derive_edges, derive_vertices
+
+        t = spark.read.parquet(args.transcripts)
+        e = derive_edges(t)
+        wh.write("edges", e)
+        wh.write("vertices", derive_vertices(t))
+        result["n_edges"] = wh.read("edges").count()
+    elif args.algo == "graph500":
+        from graph500_bfs_spark.operators.graph500 import run_graph500_benchmark
+
+        result.update(run_graph500_benchmark(spark, args.scale, args.edgefactor, args.roots))
+    else:
+        es = symmetrize(load_edges()).cache()
+        if args.algo in ("bfs", "corebfs"):
+            deg = out_degrees(es).cache()
+            root = (
+                int(deg.orderBy(F.desc("deg")).limit(1).collect()[0]["v"])
+                if args.root == "auto"
+                else int(args.root)
+            )
+            if args.algo == "bfs":
+                from graph500_bfs_spark.operators.bfs import bfs
+
+                state, met = bfs(
+                    es, root, degrees=deg, checkpointer=ck,
+                    run_id=args.run_id or f"bfs_{root}", resume=args.resume,
+                )
+            else:
+                from graph500_bfs_spark.operators.components import bfs_with_corebfs
+
+                state, met = bfs_with_corebfs(es, root)
+            wh.write("bfs_result", state)
+            result.update({"root": root, "reached": state.count(),
+                           "teps": met.teps(), "supersteps": len(met.supersteps)})
+        elif args.algo == "pagerank":
+            from graph500_bfs_spark.operators.pagerank import pagerank
+
+            pr = pagerank(es, max_iter=args.max_iter, tol=1e-8,
+                          checkpointer=ck, run_id=args.run_id or "pagerank")
+            wh.write("pagerank", pr)
+            result["n_vertices"] = pr.count()
+        elif args.algo == "cc":
+            from graph500_bfs_spark.operators.components import connected_components
+
+            cc = connected_components(es)
+            wh.write("components", cc)
+            result["n_components"] = cc.select("component").distinct().count()
+        elif args.algo == "lpa":
+            from graph500_bfs_spark.operators.label_propagation import label_propagation
+
+            lp = label_propagation(es, max_iter=args.max_iter)
+            wh.write("labels", lp)
+            result["n_labels"] = lp.select("label").distinct().count()
+        elif args.algo == "triangles":
+            from graph500_bfs_spark.operators.triangles import triangle_count
+
+            result["n_triangles"] = triangle_count(es)
+
+    result["elapsed_s"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -28,3 +28,16 @@ def test_bfs_kill_and_resume_identical(spark, tmp_path):
     # metrics rows recorded per superstep with required fields
     m = ck.metrics("run1")
     assert all({"superstep", "direction", "frontier_size", "elapsed_s"} <= set(row) for row in m)
+
+
+def test_warehouse_roundtrip(spark, tmp_path):
+    from graph500_bfs_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(100).selectExpr("id as v", "id * 2 as x")
+    wh.write("t1", df)
+    assert wh.exists("t1")
+    assert wh.read("t1").count() == 100
+    wh.append("t1", df)
+    assert wh.read("t1").count() == 200
+    assert not wh.exists("nope")

@@ -85,3 +85,20 @@ def test_kronecker_spark_matches_local(spark):
     want = sorted(zip(s.tolist(), d.tolist()))
     assert [(r["src"], r["dst"]) for r in got] == want
     assert df.count() == 4 << 8
+
+
+def test_initial_edges_connectivity(spark):
+    from graph500_bfs_spark.sources.kronecker import initial_edges
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.operators.components import connected_components
+
+    # a scrambled binary tree over 2^6 vertices must be one component
+    e = initial_edges(spark, scale=6, kind="binary_tree")
+    assert e.count() == 63
+    cc = connected_components(symmetrize(e))
+    assert cc.select("component").distinct().count() == 1
+
+    ham = initial_edges(spark, scale=5, kind="hamiltonian_cycle")
+    assert ham.count() == 32
+    deg = symmetrize(ham, dedup=False).groupBy("src").count()
+    assert deg.filter("count != 2").count() == 0  # every vertex degree 2
