@@ -22,12 +22,20 @@ from pyspark.sql import functions as F
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
-def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame:
+def connected_components(
+    edges_sym: DataFrame,
+    max_iter: int = 100,
+    checkpointer=None,
+    run_id: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
     """components(v, component) over a symmetrized edge table.
 
     Each round: gather min neighbor label (one shuffle with map-side min),
     then shortcut via label-of-label join (pointer doubling).  Convergence
     checked with a scalar count of changed labels (driver allreduce).
+    Label state checkpoints per round through ``checkpointer`` and resumes
+    mid-run; rounds are deterministic so resume is exact.
     """
     scope = CheckpointScope(edges_sym.sparkSession)
     labels = (
@@ -37,8 +45,15 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
         .select("v", F.col("v").alias("component"))
         .localCheckpoint(eager=True)
     )
+    rnd = 0
+    if resume and checkpointer is not None and run_id is not None:
+        loaded = checkpointer.load_superstep(run_id)
+        if loaded is not None:
+            saved, rnd = loaded
+            labels = saved.select("v", "component").localCheckpoint(eager=True)
     while max_iter > 0:
         max_iter -= 1
+        rnd += 1
         nbr_min = (
             edges_sym.join(
                 labels.withColumnRenamed("v", "lv"), edges_sym["src"] == F.col("lv")
@@ -81,6 +96,12 @@ def connected_components(edges_sym: DataFrame, max_iter: int = 100) -> DataFrame
             F.sum((F.col("component") != F.col("old")).cast("long"))
         ).collect()[0][0]
         labels = short.drop("old")
+        if checkpointer is not None:
+            checkpointer.save_superstep(
+                run_id or "cc", rnd, labels,
+                {"superstep": rnd, "direction": "cc_round", "frontier_size": 0,
+                 "frontier_edges": 0, "elapsed_s": 0.0, "changed": int(changed or 0)},
+            )
         if int(changed or 0) == 0:
             break
     return scope.finalize(labels)

@@ -161,3 +161,38 @@ def run_graph500_benchmark(
         "levels": levels,
         **{f"TEPS_{k}": v for k, v in stats.items()},
     }
+
+
+def tune_alpha_beta(
+    spark,
+    edges_sym: DataFrame,
+    roots: list[int],
+    degrees: DataFrame,
+    n_vertices: int,
+    m_edges: int,
+    adjacency: DataFrame | None = None,
+    alphas=(5.0, 10.0, 20.0),
+    betas=(7.0, 14.0, 28.0),
+) -> dict:
+    """B11 — driver-side alpha/beta grid search maximizing harmonic-mean
+    TEPS over the given roots (the reference's auto_tuning loop,
+    /root/reference/mpi/main.cc:45-391, reruns with perturbed parameters
+    until the harmonic mean stops improving; a small grid is the
+    deterministic equivalent)."""
+    from graph500_bfs_spark.operators.bfs import bfs
+
+    best = None
+    for a in alphas:
+        for b in betas:
+            times, nedges = [], []
+            for r in roots:
+                _, met = bfs(
+                    edges_sym, r, degrees=degrees, alpha=a, beta=b,
+                    n_vertices=n_vertices, m_edges=m_edges, adjacency=adjacency,
+                )
+                times.append(met.total_time_s)
+                nedges.append(met.traversed_edges)
+            hm = teps_stats(nedges, times)["harmonic_mean_TEPS"]
+            if best is None or hm > best["harmonic_mean_TEPS"]:
+                best = {"alpha": a, "beta": b, "harmonic_mean_TEPS": hm}
+    return best

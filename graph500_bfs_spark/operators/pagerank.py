@@ -32,6 +32,7 @@ def pagerank(
     tol: float | None = 1e-8,
     checkpointer=None,
     run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """ranks(v, score) over the *directed* edge table (src, dst).
 
@@ -65,13 +66,29 @@ def pagerank(
     bcast_ranks = n * 32 < 512 * 1024 * 1024
 
     ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "dang").localCheckpoint(True)
+    start_iter = 0
+    if resume and checkpointer is not None and run_id is not None:
+        loaded = checkpointer.load_superstep(run_id)
+        if loaded is not None:
+            saved, step = loaded
+            ranks = (
+                saved.select("v", "score")
+                .join(vdom.withColumnRenamed("v", "dv"), F.col("v") == F.col("dv"))
+                .select("v", "score", "dang")
+                .localCheckpoint(eager=True)
+            )
+            start_iter = step
     n_dangling = vdom.filter("dang = 1").count()
     dangling = n_dangling / n
     # fixed-iteration mode on a dangling-free graph needs NO scalar action
     # per iteration at all — the checkpoint materialization is the only job
     skip_scalar = tol is None and n_dangling == 0
+    if n_dangling and start_iter:
+        dangling = float(
+            ranks.filter("dang = 1").agg(F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
+        )
 
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         base = (1.0 - damping) / n + damping * dangling / n
         r = F.broadcast(ranks) if bcast_ranks else ranks
         # stacked union-aggregate: contribution rows and carry-over rows of

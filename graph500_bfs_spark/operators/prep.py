@@ -70,3 +70,62 @@ def degree_reorder_map(edges: DataFrame) -> DataFrame:
     deg = out_degrees(symmetrize(edges, dedup=False))
     w = Window.orderBy(F.desc("deg"), F.asc("v"))
     return deg.select("v", (F.row_number().over(w) - 1).alias("dense_id"))
+
+
+def salt_hub_edges(
+    edges: DataFrame, degrees: DataFrame, hub_threshold: int = 1 << 20, n_salts: int = 32
+) -> DataFrame:
+    """Explicit hub salting (north rule): split each hub vertex's edge rows
+    across ``n_salts`` sub-keys so no single reducer owns a whole hub row.
+
+    The Spark restatement of the reference's large-row split
+    (top_down_send_large, /root/reference/mpi/bfs.hpp:1076-1127) and of 2D
+    partitioning's purpose (no rank owns an entire hub row,
+    /root/reference/mpi/graph_constructor.hpp:21-29).  Needed when a
+    downstream aggregation is NOT algebraic (map-side combinable) or a
+    join key is skewed beyond what AQE's skew-join split handles:
+    aggregate per (v, salt) first, then per v — two balanced shuffles
+    instead of one shuffle with a straggler.
+
+    Returns edges(src, dst, salt) with salt != 0 only for hub sources.
+    """
+    hubs = degrees.filter(F.col("deg") >= hub_threshold).select(F.col("v").alias("hub_v"))
+    return (
+        edges.join(F.broadcast(hubs), edges["src"] == F.col("hub_v"), "left")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("hub_v").isNotNull(), F.pmod(F.xxhash64("dst"), F.lit(n_salts)).cast("int")
+            )
+            .otherwise(F.lit(0))
+            .alias("salt"),
+        )
+    )
+
+
+def out_degrees_salted(
+    edges: DataFrame, n_salts: int = 32
+) -> DataFrame:
+    """P5 with two-stage (salted) aggregation: per (src, salt) partial
+    counts, then per src — the general skew-proof degree count for keys
+    hot enough that even map-side combine leaves one reducer with the
+    hub's entire partial set (10^12-turn scale contract).
+
+    count() is algebraic so single-stage usually wins locally; this is the
+    explicitly-salted form the north rule requires for the cluster path.
+    """
+    stage1 = (
+        edges.select("src", F.pmod(F.xxhash64("dst"), F.lit(n_salts)).alias("salt"))
+        .groupBy("src", "salt")
+        .agg(F.count("*").alias("c"))
+    )
+    return stage1.groupBy(F.col("src").alias("v")).agg(F.sum("c").alias("deg"))
+
+
+def range_partition_edges(edges: DataFrame, n_partitions: int) -> DataFrame:
+    """Range partitioning by src (north rule): co-locates contiguous vertex
+    ranges so Iceberg/parquet min-max pruning can skip blocks on point or
+    range lookups of vertices — the layout choice for the edge table at
+    rest (sorted within partitions for run-length-friendly encoding)."""
+    return edges.repartitionByRange(n_partitions, "src").sortWithinPartitions("src", "dst")

@@ -79,3 +79,38 @@ def test_validation_catches_bad_tree(spark):
     )  # vertex 2 claims parent 0 but (0,2) is not an edge
     checks = validate_bfs(bad, es, 0)
     assert checks["v5_tree_edge_exists"] > 0
+
+
+def test_salted_degree_equals_plain(spark):
+    from graph500_bfs_spark.operators.prep import out_degrees, out_degrees_salted, symmetrize
+
+    es = edges_df(spark, HUB_SKEW)
+    plain = {r["v"]: r["deg"] for r in out_degrees(es).collect()}
+    salted = {r["v"]: r["deg"] for r in out_degrees_salted(es).collect()}
+    assert plain == salted
+
+
+def test_salt_hub_edges_splits_hubs_only(spark):
+    from graph500_bfs_spark.operators.prep import out_degrees, salt_hub_edges
+
+    es = edges_df(spark, HUB_SKEW)
+    deg = out_degrees(es)
+    salted = salt_hub_edges(es, deg, hub_threshold=10, n_salts=4)
+    rows = salted.collect()
+    hub_salts = {r["salt"] for r in rows if r["src"] == 0}
+    non_hub_salts = {r["salt"] for r in rows if r["src"] not in (0,)}
+    assert len(hub_salts) > 1          # hub rows fan out across salts
+    assert non_hub_salts <= {0}        # non-hubs untouched
+    assert salted.count() == es.count()
+
+
+def test_alpha_beta_autotune(spark):
+    from graph500_bfs_spark.operators.graph500 import tune_alpha_beta
+    from graph500_bfs_spark.operators.prep import out_degrees
+
+    es = edges_df(spark, HUB_SKEW).cache()
+    deg = out_degrees(es).cache()
+    n, m = deg.count(), es.count()
+    best = tune_alpha_beta(spark, es, [4], deg, n, m, alphas=(5.0, 20.0), betas=(14.0,))
+    assert best["alpha"] in (5.0, 20.0) and best["beta"] == 14.0
+    assert best["harmonic_mean_TEPS"] > 0

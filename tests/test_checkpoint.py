@@ -41,3 +41,36 @@ def test_warehouse_roundtrip(spark, tmp_path):
     wh.append("t1", df)
     assert wh.read("t1").count() == 200
     assert not wh.exists("nope")
+
+
+def test_cc_kill_and_resume_identical(spark, tmp_path):
+    from graph500_bfs_spark.operators.components import connected_components
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+    from graph500_bfs_spark.operators.prep import symmetrize
+
+    es = symmetrize(kronecker_edges(spark, scale=7, edgefactor=4)).cache()
+    ck = CheckpointManager(str(tmp_path / "ck_cc"), spark)
+    full = connected_components(es, checkpointer=ck, run_id="cc1")
+    want = {(r["v"], r["component"]) for r in full.collect()}
+    last = ck.latest_superstep("cc1")
+    assert last is not None and last >= 1
+    ck.drop_after("cc1", 1)
+    resumed = connected_components(es, checkpointer=ck, run_id="cc1", resume=True)
+    got = {(r["v"], r["component"]) for r in resumed.collect()}
+    assert got == want
+
+
+def test_pagerank_kill_and_resume_identical(spark, tmp_path):
+    from graph500_bfs_spark.operators.pagerank import pagerank
+    from tests.conftest import TRIANGLE_PENDANT, edges_df
+
+    es = edges_df(spark, TRIANGLE_PENDANT)
+    ck = CheckpointManager(str(tmp_path / "ck_pr"), spark)
+    full = pagerank(es, max_iter=8, tol=None, checkpointer=ck, run_id="pr1")
+    want = {r["v"]: r["score"] for r in full.collect()}
+    ck.drop_after("pr1", 3)
+    resumed = pagerank(es, max_iter=8, tol=None, checkpointer=ck, run_id="pr1", resume=True)
+    got = {r["v"]: r["score"] for r in resumed.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
