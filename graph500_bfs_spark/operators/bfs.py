@@ -181,7 +181,11 @@ def bfs(
 
         ts = time.perf_counter()
         state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
-        f_ids = frontier.select(F.col("v").alias("fv"))
+        # carry the level THROUGH the join instead of stamping a literal:
+        # literal-free plans keep the same generated code across supersteps
+        # (a changing lit(level) forces a whole-stage codegen recompile per
+        # level — measurable fixed cost in the superstep latency)
+        f_ids = frontier.select(F.col("v").alias("fv"), (F.col("level") + 1).alias("nlvl"))
 
         # The driver knows the exact frontier/visited sizes (the reference's
         # allreduced counters) — use them to place broadcast hints so the
@@ -191,11 +195,15 @@ def bfs(
         # superstep.  This is the Spark form of the reference's bitmap-vs-
         # list frontier representation switch (mpi/bfs.hpp:3441-3456).
         # frontier broadcasts are cheap (one level's vertices); the visited
-        # state grows to |V| — collecting it to the driver every superstep
-        # is an O(|V|) serial term, so past a modest size the anti-join
-        # switches to the (fully parallel) shuffle formulation
-        F_BCAST_LIMIT = 4_000_000
-        S_BCAST_LIMIT = 1_000_000
+        # state grows to |V| — past the broadcast budget the anti-join
+        # switches to the (fully parallel) shuffle formulation.  Local mode
+        # broadcasts are same-JVM copies, so the default budget is generous;
+        # on a real cluster set SPARK_GRAFT_STATE_BCAST lower (driver collect
+        # + fan-out is an O(|V|) serial term there).
+        import os as _os
+
+        F_BCAST_LIMIT = int(_os.environ.get("SPARK_GRAFT_FRONTIER_BCAST", 8_000_000))
+        S_BCAST_LIMIT = int(_os.environ.get("SPARK_GRAFT_STATE_BCAST", 8_000_000))
         f_small = F.broadcast(f_ids) if nq < F_BCAST_LIMIT else f_ids
         state_v = state.select(F.col("v").alias("sv"))
         state_small = visited_total < S_BCAST_LIMIT
@@ -204,7 +212,10 @@ def bfs(
             # B2/B3: expand from the frontier; candidate carries the
             # destination's degree so no per-level degree join is needed
             cand = adj.join(f_small, adj["src"] == F.col("fv")).select(
-                F.col("dst").alias("v"), F.col("src").alias("parent"), F.col("ddeg").alias("deg")
+                F.col("dst").alias("v"),
+                F.col("src").alias("parent"),
+                F.col("ddeg").alias("deg"),
+                F.col("nlvl"),
             )
         else:
             # B6/B7: drive from the unvisited side — the (small) unvisited
@@ -212,11 +223,16 @@ def bfs(
             anti_state = F.broadcast(state_v) if state_small else state_v
             unvisited_edges = adj.join(anti_state, adj["src"] == F.col("sv"), "left_anti")
             cand = unvisited_edges.join(f_small, unvisited_edges["dst"] == F.col("fv")).select(
-                F.col("src").alias("v"), F.col("dst").alias("parent"), F.col("sdeg").alias("deg")
+                F.col("src").alias("v"),
+                F.col("dst").alias("parent"),
+                F.col("sdeg").alias("deg"),
+                F.col("nlvl"),
             )
 
         # deterministic first-writer-wins, map-side combined (hub-skew safe)
-        winners = cand.groupBy("v").agg(F.min("parent").alias("parent"), F.max("deg").alias("deg"))
+        winners = cand.groupBy("v").agg(
+            F.min("parent").alias("parent"), F.max("deg").alias("deg"), F.max("nlvl").alias("nlvl")
+        )
         obs = Observation(f"bfs_l{level}")
         new_frontier = (
             winners.join(
@@ -224,7 +240,7 @@ def bfs(
                 winners["v"] == F.col("sv"),
                 "left_anti",
             )
-            .select("v", "parent", F.lit(level + 1).cast("int").alias("level"), "deg")
+            .select("v", "parent", F.col("nlvl").cast("int").alias("level"), "deg")
             # the nq-stats Allreduce rides the SAME job as the frontier
             # materialization via observed metrics — ONE action per superstep
             .observe(obs, F.count(F.lit(1)).alias("nq"), F.sum("deg").alias("nq_edges"))
