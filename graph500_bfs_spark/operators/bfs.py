@@ -66,14 +66,23 @@ class BfsMetrics:
         return self.traversed_edges / self.total_time_s if self.total_time_s else 0.0
 
 
-def build_adjacency(edges_sym: DataFrame, degrees: DataFrame) -> DataFrame:
+def build_adjacency(
+    edges_sym: DataFrame, degrees: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """Degree-annotated adjacency (src, dst, sdeg, ddeg), built ONCE per
     graph and reused across roots/supersteps — the analog of the reference's
     one-time CSR construction carrying per-row degrees
     (/root/reference/mpi/graph_constructor.hpp:1009-1033).  Carrying both
     endpoint degrees lets every superstep skip the degree join: frontier
-    stats ride along with the candidate tuples."""
+    stats ride along with the candidate tuples.
+
+    The result is hash-partitioned by ``src`` (the construction's 2D
+    redistribute, P1) so every per-superstep join keyed on src reuses the
+    cached partitioning — the adjacency is NEVER reshuffled inside the
+    superstep loop, mirroring the reference's fixed edge ownership."""
     d = degrees
+    spark = edges_sym.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         edges_sym.join(
             d.select(F.col("v").alias("_sv"), F.col("deg").alias("sdeg")),
@@ -84,6 +93,7 @@ def build_adjacency(edges_sym: DataFrame, degrees: DataFrame) -> DataFrame:
             edges_sym["dst"] == F.col("_dv"),
         )
         .select("src", "dst", "sdeg", "ddeg")
+        .repartition(p, "src")
     )
 
 
@@ -139,6 +149,8 @@ def bfs(
     level = 0
     direction = "top_down"
     visited_edges = 0  # Σ deg(visited so far) — proxy for remaining work
+    prev_frontier = None  # level-1 frontier — the exact anti-join set
+    unvisited = None  # maintained incrementally while in bottom_up mode
     row = frontier.agg(F.count("*"), F.sum("deg")).collect()[0]
     nq, nq_edges = int(row[0]), int(row[1])
     visited_total = nq  # rows in state (the driver-side visited counter)
@@ -155,6 +167,10 @@ def bfs(
             level = int(state_df.agg(F.max("level")).collect()[0][0])
             frontier = state_df.filter(F.col("level") == level).localCheckpoint(eager=True)
             pieces = [state_df.filter(F.col("level") < level).localCheckpoint(eager=True), frontier]
+            if level > 0:
+                prev_frontier = state_df.filter(F.col("level") == level - 1).localCheckpoint(
+                    eager=True
+                )
             row = (
                 pieces[0]
                 .agg(F.coalesce(F.sum("deg"), F.lit(0)))
@@ -178,69 +194,81 @@ def bfs(
         else:
             if nq < n_total / (beta * DEFAULT_EDGEFACTOR * 2.0):
                 direction = "top_down"
+                unvisited = None  # recomputed if bottom_up re-engages
 
         ts = time.perf_counter()
-        state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
         # carry the level THROUGH the join instead of stamping a literal:
         # literal-free plans keep the same generated code across supersteps
         # (a changing lit(level) forces a whole-stage codegen recompile per
         # level — measurable fixed cost in the superstep latency)
         f_ids = frontier.select(F.col("v").alias("fv"), (F.col("level") + 1).alias("nlvl"))
-
-        # The driver knows the exact frontier/visited sizes (the reference's
-        # allreduced counters) — use them to place broadcast hints so the
-        # small side is ALWAYS the build side.  Catalyst's size estimate for
+        # driver-placed broadcast hint: the driver knows the exact frontier
+        # size (the reference's allreduced counter); Catalyst's estimate for
         # a checkpointed frontier can otherwise pick the multi-million-row
-        # adjacency as the broadcast side, rebuilding that broadcast every
-        # superstep.  This is the Spark form of the reference's bitmap-vs-
-        # list frontier representation switch (mpi/bfs.hpp:3441-3456).
-        # frontier broadcasts are cheap (one level's vertices); the visited
-        # state grows to |V| — past the broadcast budget the anti-join
-        # switches to the (fully parallel) shuffle formulation.  Local mode
-        # broadcasts are same-JVM copies, so the default budget is generous;
-        # on a real cluster set SPARK_GRAFT_STATE_BCAST lower (driver collect
-        # + fan-out is an O(|V|) serial term there).
-        import os as _os
-
-        F_BCAST_LIMIT = int(_os.environ.get("SPARK_GRAFT_FRONTIER_BCAST", 8_000_000))
-        S_BCAST_LIMIT = int(_os.environ.get("SPARK_GRAFT_STATE_BCAST", 8_000_000))
-        f_small = F.broadcast(f_ids) if nq < F_BCAST_LIMIT else f_ids
-        state_v = state.select(F.col("v").alias("sv"))
-        state_small = visited_total < S_BCAST_LIMIT
+        # adjacency as broadcast side, rebuilding that broadcast per level
+        f_small = F.broadcast(f_ids) if nq < 8_000_000 else f_ids
 
         if direction == "top_down":
             # B2/B3: expand from the frontier; candidate carries the
-            # destination's degree so no per-level degree join is needed
+            # destination's degree so no per-level degree join is needed.
+            # adj is cached pre-partitioned by src → never reshuffled.
             cand = adj.join(f_small, adj["src"] == F.col("fv")).select(
                 F.col("dst").alias("v"),
                 F.col("src").alias("parent"),
                 F.col("ddeg").alias("deg"),
                 F.col("nlvl"),
             )
+            # deterministic first-writer-wins, map-side combined (hub-skew safe)
+            winners = cand.groupBy("v").agg(
+                F.min("parent").alias("parent"),
+                F.max("deg").alias("deg"),
+                F.max("nlvl").alias("nlvl"),
+            )
+            # BFS level property: a neighbor of a level-L vertex lies at
+            # level L-1, L, or L+1 — so excluding frontier ∪ prev_frontier
+            # leaves EXACTLY the new level.  This replaces the anti-join
+            # against the O(|V|) visited state (whose per-level broadcast/
+            # shuffle was the flat cost capping strong scaling).
+            exclude = frontier.select("v")
+            if prev_frontier is not None:
+                exclude = exclude.union(prev_frontier.select("v"))
+            winners = winners.join(
+                F.broadcast(exclude.withColumnRenamed("v", "xv")),
+                winners["v"] == F.col("xv"),
+                "left_anti",
+            )
         else:
-            # B6/B7: drive from the unvisited side — the (small) unvisited
-            # vertex set restricts the edge scan before probing the frontier
-            anti_state = F.broadcast(state_v) if state_small else state_v
-            unvisited_edges = adj.join(anti_state, adj["src"] == F.col("sv"), "left_anti")
+            # B6/B7: drive from the unvisited side.  unvisited is computed
+            # once at the direction switch, then shrunk incrementally —
+            # winners ⊆ unvisited, so no anti-join at all here.
+            if unvisited is None:
+                state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
+                unvisited = (
+                    deg.select("v")
+                    .join(
+                        state.select(F.col("v").alias("sv")),
+                        F.col("v") == F.col("sv"),
+                        "left_anti",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            uv = unvisited.select(F.col("v").alias("uv"))
+            unvisited_edges = adj.join(uv, adj["src"] == F.col("uv"), "left_semi")
             cand = unvisited_edges.join(f_small, unvisited_edges["dst"] == F.col("fv")).select(
                 F.col("src").alias("v"),
                 F.col("dst").alias("parent"),
                 F.col("sdeg").alias("deg"),
                 F.col("nlvl"),
             )
+            winners = cand.groupBy("v").agg(
+                F.min("parent").alias("parent"),
+                F.max("deg").alias("deg"),
+                F.max("nlvl").alias("nlvl"),
+            )
 
-        # deterministic first-writer-wins, map-side combined (hub-skew safe)
-        winners = cand.groupBy("v").agg(
-            F.min("parent").alias("parent"), F.max("deg").alias("deg"), F.max("nlvl").alias("nlvl")
-        )
         obs = Observation(f"bfs_l{level}")
         new_frontier = (
-            winners.join(
-                F.broadcast(state_v) if state_small else state_v,
-                winners["v"] == F.col("sv"),
-                "left_anti",
-            )
-            .select("v", "parent", F.col("nlvl").cast("int").alias("level"), "deg")
+            winners.select("v", "parent", F.col("nlvl").cast("int").alias("level"), "deg")
             # the nq-stats Allreduce rides the SAME job as the frontier
             # materialization via observed metrics — ONE action per superstep
             .observe(obs, F.count(F.lit(1)).alias("nq"), F.sum("deg").alias("nq_edges"))
@@ -248,6 +276,12 @@ def bfs(
         )
         stats = obs.get
         new_nq, new_nq_edges = int(stats["nq"] or 0), int(stats["nq_edges"] or 0)
+        if unvisited is not None and direction == "bottom_up" and new_nq > 0:
+            unvisited = unvisited.join(
+                F.broadcast(new_frontier.select(F.col("v").alias("nv"))),
+                unvisited["v"] == F.col("nv"),
+                "left_anti",
+            ).localCheckpoint(eager=True)
 
         elapsed = time.perf_counter() - ts
         metrics.supersteps.append(
@@ -265,6 +299,7 @@ def bfs(
             checkpointer.save_superstep(
                 run_id or f"bfs_{root}", level + 1, full, metrics.supersteps[-1]
             )
+        prev_frontier = frontier
         frontier = new_frontier
         nq, nq_edges = new_nq, new_nq_edges
         visited_total += new_nq

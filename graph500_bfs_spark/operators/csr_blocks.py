@@ -218,8 +218,10 @@ def bfs_blocks(
             .collect()[0]
         )
         new_nq, new_nq_edges = int(agg[0]), int(agg[1])
+        # Arrow-path frontier gather (the reference's allgather, B5) — a
+        # columnar batch transfer, not row objects
         new_frontier = np.sort(
-            np.array([r["v"] for r in new_rows.select("v").collect()], dtype=np.int64)
+            new_rows.select("v").toPandas()["v"].to_numpy(dtype=np.int64, copy=False)
         )
 
         bc_frontier.destroy()

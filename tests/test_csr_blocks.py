@@ -63,3 +63,27 @@ def test_bfs_blocks_kronecker(spark):
     assert got == want
     # direction optimization should kick in from a hub root on R-MAT
     assert any(s["direction"] == "bottom_up" for s in met.supersteps)
+
+
+def test_bfs_shm_matches_join_bfs(spark, tmp_path):
+    import numpy as np
+
+    from graph500_bfs_spark.operators.csr_shm import bfs_shm, export_blocks
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks(es, 8, path)
+    root = int(deg.orderBy(F.desc("deg")).limit(1).collect()[0]["v"])
+    st_shm, met = bfs_shm(spark, path, 8, root, (dvs, ddeg), m)
+    st_j, _ = bfs(es, root, degrees=deg, n_vertices=len(dvs), m_edges=m)
+    a = {(r["v"], r["parent"], r["level"]) for r in st_shm.collect()}
+    b = {(r["v"], r["parent"], r["level"]) for r in st_j.collect()}
+    assert a == b
+    assert any(s["direction"] == "bottom_up" for s in met.supersteps)
