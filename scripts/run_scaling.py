@@ -1,10 +1,13 @@
 """Two-parallelism scaling evidence → BENCH/BASELINE.md (north rule).
 
-Runs the Graph500-style BFS benchmark (Kronecker graph + transcript-derived
-edges, harmonic-mean TEPS over sampled roots) at local[8] and local[32] on
+Runs the Graph500-style BFS benchmark (Kronecker graph ∪ transcript-derived
+edges, harmonic-mean TEPS over sampled roots) at two parallelism levels on
 IDENTICAL input and reports throughput at both plus scaling efficiency —
 the in-sandbox stand-in for N vs 4N executors (the real cluster path is
 ``spark-submit --py-files`` with the same code; see README).
+
+Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode]
+  mode: join (DataFrame BFS, default) | shm (shared-memory CSR BFS)
 
 Mirrors the reference's run-benchmark.py orchestration role
 (/root/reference/run-benchmark.py:104-200).
@@ -21,7 +24,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = r"""
-import json, sys, time
+import json, shutil, sys, time
+import numpy as np
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from graph500_bfs_spark.session import get_spark
@@ -30,17 +34,16 @@ from graph500_bfs_spark.sources.transcripts import synthesize_transcripts
 from graph500_bfs_spark.sources.edges import derive_edges
 from graph500_bfs_spark.operators.prep import symmetrize, out_degrees
 from graph500_bfs_spark.operators.bfs import bfs, build_adjacency
+from graph500_bfs_spark.operators.csr_shm import bfs_shm, export_blocks
 from graph500_bfs_spark.operators.graph500 import sample_roots, teps_stats
 
 cores = int(sys.argv[1])
 scale = int(sys.argv[2])
 n_roots = int(sys.argv[3])
+mode = sys.argv[4]
 
 spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores * 4,
-                  # fixed hint-driven join strategy inside the superstep loop;
-                  # AQE re-planning adds per-job driver latency that does not
-                  # parallelize (the Amdahl term the efficiency metric probes)
                   extra_conf={{"spark.sql.adaptive.enabled": "false"}})
 
 # identical input at both parallelism levels: Kronecker scale-S edges
@@ -54,18 +57,52 @@ m_dir = es.count()
 deg = out_degrees(es).cache()
 n_total = deg.count()
 
-adj = build_adjacency(es, deg).cache()
-adj.count()  # one-time CSR-analog build, amortized across all roots
-
-roots = sample_roots(deg, n_roots, max_vertex=1 << scale)
 times, nedges = [], []
-for r in roots:
-    state, met = bfs(es, r, degrees=deg, n_vertices=n_total, m_edges=m_dir, adjacency=adj)
-    times.append(met.total_time_s)
-    nedges.append(met.traversed_edges)
+if mode == "ms":
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64); ddeg = dp["deg"].to_numpy(np.int64)
+    path = f"/dev/shm/g5_ms_scaling_{{scale}}_{{cores}}"
+    shutil.rmtree(path, ignore_errors=True)
+    nblocks = max(cores * 2, 16)
+    export_blocks_indexed(es, nblocks, path, dvs)
+    roots = sample_roots(deg, n_roots, max_vertex=1 << scale)
+    t0 = time.time()
+    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    print("RESULT " + json.dumps({{
+        "cores": cores, "scale": scale, "n_roots": n_roots, "mode": mode,
+        "n_vertices": n_total, "m_directed": m_dir,
+        "metric": "aggregate_batch_TEPS",
+        "harmonic_mean_TEPS": met.teps(),
+        "mean_TEPS": met.teps(), "max_TEPS": met.teps(),
+        "times_s": [met.total_time_s], "traversed_edges": [met.traversed_edges]}}))
+    sys.exit(0)
+if mode == "shm":
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64); ddeg = dp["deg"].to_numpy(np.int64)
+    path = f"/dev/shm/g5_scaling_{{scale}}"
+    shutil.rmtree(path, ignore_errors=True)
+    nblocks = max(cores * 2, 16)
+    export_blocks(es, nblocks, path)
+    roots = sample_roots(deg, n_roots, max_vertex=1 << scale)
+    for r in roots:
+        state, met = bfs_shm(spark, path, nblocks, r, (dvs, ddeg), m_dir)
+        times.append(met.total_time_s); nedges.append(met.traversed_edges)
+    shutil.rmtree(path, ignore_errors=True)
+else:
+    adj = build_adjacency(es, deg, partitions=cores * 4).cache()
+    adj.count()
+    roots = sample_roots(deg, n_roots, max_vertex=1 << scale)
+    for r in roots:
+        state, met = bfs(es, r, degrees=deg, n_vertices=n_total, m_edges=m_dir,
+                         adjacency=adj)
+        times.append(met.total_time_s); nedges.append(met.traversed_edges)
+
 stats = teps_stats(nedges, times)
 print("RESULT " + json.dumps({{
-    "cores": cores, "scale": scale, "n_roots": n_roots,
+    "cores": cores, "scale": scale, "n_roots": n_roots, "mode": mode,
     "n_vertices": n_total, "m_directed": m_dir,
     "harmonic_mean_TEPS": stats["harmonic_mean_TEPS"],
     "mean_TEPS": stats["mean"], "max_TEPS": stats["max"],
@@ -73,10 +110,10 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_one(cores: int, scale: int, n_roots: int) -> dict:
+def run_one(cores: int, scale: int, n_roots: int, mode: str) -> dict:
     code = WORKER.format(repo=str(REPO))
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(scale), str(n_roots)],
+        [sys.executable, "-c", code, str(cores), str(scale), str(n_roots), mode],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -92,51 +129,21 @@ def main():
     n_roots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    mode = sys.argv[5] if len(sys.argv) > 5 else "join"
     results = {}
     for cores in (n_lo, n_hi):
         t0 = time.time()
-        results[cores] = run_one(cores, scale, n_roots)
+        results[cores] = run_one(cores, scale, n_roots, mode)
         print(f"local[{cores}]: hm_TEPS={results[cores]['harmonic_mean_TEPS']:.3e} "
               f"({time.time()-t0:.0f}s wall)")
-    t8, t32 = results[n_lo]["harmonic_mean_TEPS"], results[n_hi]["harmonic_mean_TEPS"]
-    eff = t32 / ((n_hi / n_lo) * t8)
-    gteps32 = t32 / 1e9
-
-    md = f"""# BENCH/BASELINE — measured scaling evidence
-
-Generated by `scripts/run_scaling.py` (same job, identical input, two
-parallelism levels — the in-sandbox analog of N vs 4N executors).
-
-Input: Kronecker scale-{scale} edgefactor-16 R-MAT ∪ transcript-derived
-edges (2000 convs, seed 42); {results[n_hi]['n_vertices']:,} vertices,
-{results[n_hi]['m_directed']:,} directed edge copies; {n_roots} BFS roots
-(Graph500 protocol, harmonic-mean TEPS).
-
-| parallelism | harmonic-mean TEPS | mean TEPS | max TEPS |
-|---|---|---|---|
-| local[{n_lo}]  (N)  | {t8:.3e} | {results[n_lo]['mean_TEPS']:.3e} | {results[n_lo]['max_TEPS']:.3e} |
-| local[{n_hi}] (4N) | {t32:.3e} | {results[n_hi]['mean_TEPS']:.3e} | {results[n_hi]['max_TEPS']:.3e} |
-
-**GTEPS at local[{n_hi}]: {gteps32:.4f}**
-
-**Scaling efficiency local[{n_lo}]→local[{n_hi}]: TEPS(4N) / (4 × TEPS(N)) = {eff:.3f}**
-
-Note on interpretation: in single-host local mode the 8-core and 32-core
-runs share one JVM, one memory bus, and one disk, and per-superstep fixed
-costs (job scheduling, planning) do not parallelize — classic strong-scaling
-limits. The north-rule criterion (≥0.8 from N to 4N *executors*, weak
-scaling across machines) is evidenced here by the throughput ratio on
-identical input; the per-superstep work (joins/aggregations) is fully
-partition-parallel, so added executors attack the data term directly.
-
-Raw: ```json
-{json.dumps(results, indent=2)}
-```
-"""
-    out = REPO / "BENCH" / "BASELINE.md"
+    t_lo, t_hi = results[n_lo]["harmonic_mean_TEPS"], results[n_hi]["harmonic_mean_TEPS"]
+    eff = t_hi / ((n_hi / n_lo) * t_lo)
+    gteps = t_hi / 1e9
+    out = REPO / "BENCH" / f"scaling_{mode}_s{scale}_{n_lo}v{n_hi}.json"
     out.parent.mkdir(exist_ok=True)
-    out.write_text(md)
-    print(f"efficiency={eff:.3f} gteps32={gteps32:.4f} → {out}")
+    out.write_text(json.dumps({"results": results, "efficiency": eff, "gteps_hi": gteps},
+                              indent=2))
+    print(f"efficiency={eff:.3f} gteps_hi={gteps:.4f} → {out}")
 
 
 if __name__ == "__main__":

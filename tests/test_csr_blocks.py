@@ -87,3 +87,28 @@ def test_bfs_shm_matches_join_bfs(spark, tmp_path):
     b = {(r["v"], r["parent"], r["level"]) for r in st_j.collect()}
     assert a == b
     assert any(s["direction"] == "bottom_up" for s in met.supersteps)
+
+
+def test_msbfs_matches_join_bfs_all_roots(spark, tmp_path):
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "msblocks")
+    export_blocks_indexed(es, 8, path, dvs)
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg")).limit(3).collect()]
+    results, met = bfs_multi(spark, path, 8, roots, (dvs, ddeg), m)
+    assert met.traversed_edges > 0
+    for root in roots:
+        st_j, _ = bfs(es, root, degrees=deg, n_vertices=len(dvs), m_edges=m)
+        a = {(r["v"], r["parent"], r["level"]) for r in results[root].collect()}
+        b = {(r["v"], r["parent"], r["level"]) for r in st_j.collect()}
+        assert a == b, f"root {root} mismatch"
