@@ -317,7 +317,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph500_bfs_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(_read(spark, sf_dir, "embeddings"), k=5, n_queries=10)
+    return lsh_topk(_read(spark, sf_dir, "embeddings"), k=5, n_queries=10,
+                    n_tables=16, n_planes=4)
 
 
 def q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,3 +469,15 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS value_milli
 FROM sess GROUP BY user_id, sess_id
 """
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=5, n_queries=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.9)

@@ -182,3 +182,81 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         "vec_a", "vec_b", F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_ppb")
     )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(vec_id, centroid) IVF coarse quantization.
+
+    Deterministic centroid set = the first ``n_centroids`` vectors by id
+    (k-means would be the production refinement; the partitioning/probing
+    machinery is identical).  Assignment = argmax cosine against the
+    broadcast centroid table — one broadcast join, no shuffle of the corpus.
+    """
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid",
+        (_dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter("rk = 1").select("vec_id", "centroid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) IVF-ANN: exact rerank within the
+    query's ``n_probe`` nearest centroid cells — the 100 TB scale path
+    where the corpus is partitioned by centroid and only probed cells are
+    read (partition pruning on the centroid column at rest)."""
+    assign = ivf_assign(embeddings, n_centroids).cache()
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qprobe = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid",
+            (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("sim"),
+        )
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid")))
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qvec", "centroid")
+    )
+    cand = qprobe.join(assign, "centroid").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.join(emb.select(F.col("vec_id").alias("nid"), "vec"), cand["vec_id"] == F.col("nid")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -96,3 +96,37 @@ def test_prune_trees_triangle_pendant(spark):
     core_verts = {r["src"] for r in core.collect()}
     assert core_verts == {0, 1, 2}
     assert {(r["v"], r["parent"]) for r in parents.collect()} == {(3, 2)}
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """LSH and IVF top-k must recover most exact neighbors (recall floor)."""
+    from graph500_bfs_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, k=5).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(emb, k=5, n_tables=16, n_planes=4).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.5
+    assert len(lsh & exact) / len(exact) >= 0.6
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """Plant perturbed copies of 5 vectors; the LSH+verify pipeline must
+    recover exactly the planted (original, copy) pairs."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 5").collect()
+    rng = np.random.default_rng(7)
+    dupes = [
+        (int(r["vec_id"]) + 100000, [float(x + rng.normal(0, 0.002)) for x in r["embedding"]], 0)
+        for r in base
+    ]
+    planted = spark.createDataFrame(dupes, emb.schema)
+    full = emb.unionByName(planted)
+    pairs = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(full, threshold=0.98).collect()
+    }
+    assert pairs == {(i, i + 100000) for i in range(5)}

@@ -32,3 +32,14 @@ def test_corebfs_matches_plain_bfs_levels(spark, pairs, root):
     assert got == oracles.bfs_levels(pairs, root)
     res = complete_result(state, vertex_ids(es))
     assert_valid_bfs(res, es, root)
+
+
+def test_graph500_protocol_midscale_validated(spark):
+    """CI leg of the north-star contract: the full protocol at a mid scale
+    with per-root five-check validation enabled."""
+    from graph500_bfs_spark.operators.graph500 import run_graph500_benchmark
+
+    rep = run_graph500_benchmark(spark, scale=13, edgefactor=8, n_roots=3, validate=True)
+    assert rep["n_roots"] == 3
+    assert rep["TEPS_harmonic_mean_TEPS"] > 0
+    assert all(lv > 3 for lv in rep["levels"])
