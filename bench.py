@@ -51,6 +51,38 @@ def run(sf_dir: str, master: str | None = None) -> dict:
         if name == "bfs_levels":
             extras["bfs_reached"] = n
         spark.catalog.clearCache()  # queries are independent; drop leftovers
+    # headline GTEPS: Graph500-protocol multi-source BFS batch on a
+    # Kronecker graph (scale 18 keeps the per-round bench fast; the full
+    # scale-22 ladder lives in BENCH/BASELINE.md)
+    try:
+        import shutil
+
+        import numpy as np
+
+        from graph500_bfs_spark.operators.graph500 import sample_roots
+        from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+        from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+        from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+        scale = 18
+        es = symmetrize(kronecker_edges(spark, scale), dedup=False).cache()
+        m = es.count()
+        deg = out_degrees(es).cache()
+        dp = deg.orderBy("v").toPandas()
+        dvs = dp["v"].to_numpy(np.int64)
+        ddeg = dp["deg"].to_numpy(np.int64)
+        shm = "/dev/shm/g5_bench"
+        shutil.rmtree(shm, ignore_errors=True)
+        export_blocks_indexed(es, 32, shm, dvs)
+        roots = sample_roots(deg, 8, max_vertex=1 << scale)
+        _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m)  # warm
+        _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m)
+        shutil.rmtree(shm, ignore_errors=True)
+        extras["bfs_gteps_scale18"] = round(met.teps() / 1e9, 5)
+        timings["msbfs_scale18_batch"] = round(met.total_time_s, 3)
+    except Exception as exc:  # never fail the bench on the extra leg
+        extras["bfs_gteps_error"] = str(exc)[:200]
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "headline_queries_total_runtime",
