@@ -150,6 +150,7 @@ def bfs(
     direction = "top_down"
     visited_edges = 0  # Σ deg(visited so far) — proxy for remaining work
     prev_frontier = None  # level-1 frontier — the exact anti-join set
+    prev_nq = 0  # exact size of prev_frontier (driver counter, for broadcast gating)
     unvisited = None  # maintained incrementally while in bottom_up mode
     row = frontier.agg(F.count("*"), F.sum("deg")).collect()[0]
     nq, nq_edges = int(row[0]), int(row[1])
@@ -171,6 +172,7 @@ def bfs(
                 prev_frontier = state_df.filter(F.col("level") == level - 1).localCheckpoint(
                     eager=True
                 )
+                prev_nq = int(prev_frontier.count())
             row = (
                 pieces[0]
                 .agg(F.coalesce(F.sum("deg"), F.lit(0)))
@@ -183,18 +185,38 @@ def bfs(
             mrows = checkpointer.metrics(run_id)
             direction = mrows[-1].get("direction", "top_down") if mrows else "top_down"
 
+    # growing/shrinking phase guard (/root/reference/mpi/bfs.hpp:3414-3429):
+    # T2B is only allowed while the frontier is still GROWING (nq > prev nq),
+    # B2T only once it is SHRINKING, and after the first B2T the growing flag
+    # is cleared permanently — this prevents direction flip-flop on plateau
+    # frontiers.  DELIBERATE DEVIATION from the reference formula: we compare
+    # nq_edges against REMAINING edges (m_total - visited_edges)/alpha rather
+    # than total m/alpha (reference bfs.hpp:3417-3418).  Remaining-edges is
+    # the quantity a bottom-up sweep actually scans in our incremental-
+    # unvisited design, so it tracks the real cost crossover; the guard above
+    # supplies the hysteresis the reference gets from its total-m constant.
+    growing = True
+    frontier_repr = "list"  # mirrored bitmap↔list decision, bfs.hpp:3441-3456
+
     while level < max_levels and nq > 0:
         visited_edges += nq_edges
 
-        # direction heuristic — same formulas as run_bfs_core
-        # (/root/reference/mpi/bfs.hpp:3413-3457)
         if direction == "top_down":
-            if nq_edges > (m_total - visited_edges) / alpha:
+            if growing and nq > prev_nq and nq_edges > (m_total - visited_edges) / alpha:
                 direction = "bottom_up"
+                frontier_repr = "bitmap"  # bottom-up only with bitmap, bfs.hpp:3454-3457
         else:
-            if nq < n_total / (beta * DEFAULT_EDGEFACTOR * 2.0):
+            if (not growing or nq <= prev_nq) and nq < n_total / (
+                beta * DEFAULT_EDGEFACTOR * 2.0
+            ):
                 direction = "top_down"
+                growing = False  # one-way: never re-enter the growing phase
                 unvisited = None  # recomputed if bottom_up re-engages
+                # representation decision at B2T (bfs.hpp:3441-3448): keep the
+                # bitmap iff max per-partition nq ≥ bitmap_words*NBPE/(8*denom);
+                # with our 1D layout the per-partition bound is nq itself.
+                bitmap_slots = n_total / 2.0  # bitmap_bytes/sizeof(id)/denom, denom=2
+                frontier_repr = "bitmap" if nq >= bitmap_slots / 8.0 else "list"
 
         ts = time.perf_counter()
         # carry the level THROUGH the join instead of stamping a literal:
@@ -232,11 +254,16 @@ def bfs(
             exclude = frontier.select("v")
             if prev_frontier is not None:
                 exclude = exclude.union(prev_frontier.select("v"))
-            winners = winners.join(
-                F.broadcast(exclude.withColumnRenamed("v", "xv")),
-                winners["v"] == F.col("xv"),
-                "left_anti",
-            )
+            # size-gated broadcast: near the direction switch the exclusion
+            # set (frontier ∪ prev_frontier) can be a large fraction of |V| —
+            # an unconditional broadcast hint there OOMs driver/executors at
+            # cluster scale.  The driver knows both sizes exactly, so reuse
+            # the same budget as the expand-side f_small gate: hinted
+            # broadcast below it, plain shuffle anti-join above.
+            exclude = exclude.withColumnRenamed("v", "xv")
+            if nq + prev_nq < 8_000_000:
+                exclude = F.broadcast(exclude)
+            winners = winners.join(exclude, winners["v"] == F.col("xv"), "left_anti")
         else:
             # B6/B7: drive from the unvisited side.  unvisited is computed
             # once at the direction switch, then shrunk incrementally —
@@ -277,10 +304,11 @@ def bfs(
         stats = obs.get
         new_nq, new_nq_edges = int(stats["nq"] or 0), int(stats["nq_edges"] or 0)
         if unvisited is not None and direction == "bottom_up" and new_nq > 0:
+            nf = new_frontier.select(F.col("v").alias("nv"))
+            if new_nq < 8_000_000:
+                nf = F.broadcast(nf)
             unvisited = unvisited.join(
-                F.broadcast(new_frontier.select(F.col("v").alias("nv"))),
-                unvisited["v"] == F.col("nv"),
-                "left_anti",
+                nf, unvisited["v"] == F.col("nv"), "left_anti"
             ).localCheckpoint(eager=True)
 
         elapsed = time.perf_counter() - ts
@@ -288,6 +316,7 @@ def bfs(
             {
                 "superstep": level,
                 "direction": direction,
+                "frontier_repr": frontier_repr,
                 "frontier_size": nq,
                 "frontier_edges": nq_edges,
                 "elapsed_s": elapsed,
@@ -300,6 +329,7 @@ def bfs(
                 run_id or f"bfs_{root}", level + 1, full, metrics.supersteps[-1]
             )
         prev_frontier = frontier
+        prev_nq = nq
         frontier = new_frontier
         nq, nq_edges = new_nq, new_nq_edges
         visited_total += new_nq

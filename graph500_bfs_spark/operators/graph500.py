@@ -40,7 +40,28 @@ def sample_roots(
         max_vertex = int(degrees.agg(F.max("v")).collect()[0][0]) + 1
     roots: list[int] = []
     counter = 0
+    # Guard against sparse hashed-id vertex domains (e.g. xxhash64 entity ids
+    # spanning ~2^63): a uniform candidate almost never hits a real vertex, so
+    # after a bounded number of batches fall back to sampling directly from the
+    # connected-vertex table (deterministic via hash ordering).
+    max_batches = 64
+    batches = 0
     while len(roots) < n_roots:
+        if batches >= max_batches:
+            need = n_roots - len(roots)
+            fallback = (
+                connected.withColumn("h", F.xxhash64(F.col("v"), F.lit(seed1), F.lit(seed2)))
+                .orderBy("h")
+                .limit(n_roots + len(roots))
+                .collect()
+            )
+            for r in fallback:
+                if r["v"] not in roots:
+                    roots.append(r["v"])
+                    if len(roots) == n_roots:
+                        break
+            break
+        batches += 1
         batch = np.arange(counter, counter + 4 * n_roots, dtype=np.uint64)
         salt = np.uint64((seed1 * 0x9E3779B97F4A7C15 + seed2) & 0xFFFFFFFFFFFFFFFF)
         with np.errstate(over="ignore"):  # intended mod-2^64 wraparound
@@ -86,9 +107,11 @@ def teps_stats(traversed_edges: list[int], times_s: list[float]) -> dict:
     recip = 1.0 / teps
     hmean = n / recip.sum()
     if n > 1:
-        # Norris 1940: stddev of harmonic mean
+        # Norris 1940: stddev of harmonic mean. Reference logfile.h:110-112
+        # prints std(recip, ddof=1) / (mean(recip)^2 * sqrt(n-1)); with
+        # hmean = 1/mean(recip) that is std(recip,ddof=1) * hmean^2 / sqrt(n-1).
         tmp = recip - recip.mean()
-        hstd = (math.sqrt((tmp * tmp).sum() / (n - 1)) / (n - 1)) * hmean * hmean
+        hstd = (math.sqrt((tmp * tmp).sum() / (n - 1)) / math.sqrt(n - 1)) * hmean * hmean
     else:
         hstd = 0.0
     s = summary_stats(list(teps))

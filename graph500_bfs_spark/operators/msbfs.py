@@ -166,11 +166,15 @@ def bfs_multi(
             self.frontier = np.array([root], dtype=np.int64)
             self.vbit = np.zeros(nbytes, dtype=np.uint8)
             ridx = np.searchsorted(dvs, np.array([root], dtype=np.int64))
+            pos = int(ridx[0])
+            if pos >= len(dvs) or dvs[pos] != root:
+                raise ValueError(f"BFS root {root} is not a vertex of this graph")
             _bit_set(self.vbit, ridx)
             self.direction = "top_down"
-            pos = int(ridx[0])
-            self.nq_edges = int(ddeg[pos]) if dvs[pos] == root else 0
+            self.nq_edges = int(ddeg[pos])
             self.visited_edges = 0
+            self.growing = True  # growing/shrinking guard, ref bfs.hpp:3414-3429
+            self.prev_nq = 0
             self.vs = [self.frontier]
             self.parents = [np.array([root], dtype=np.int64)]
             self.levels = [0]
@@ -186,12 +190,25 @@ def bfs_multi(
         # per-root direction decision (independent α/β state machines)
         for s in active:
             s.visited_edges += s.nq_edges
+            # growing/shrinking guard (ref bfs.hpp:3414-3429): T2B only while
+            # the frontier still grows; B2T only once shrinking, and the
+            # growing phase is never re-entered — prevents direction
+            # flip-flop on plateau frontiers.
+            nq_now = len(s.frontier)
             if s.direction == "top_down":
-                if s.nq_edges > (m_edges - s.visited_edges) / alpha:
+                if (
+                    s.growing
+                    and nq_now > s.prev_nq
+                    and s.nq_edges > (m_edges - s.visited_edges) / alpha
+                ):
                     s.direction = "bottom_up"
             else:
-                if len(s.frontier) < n_total / (beta * DEFAULT_EDGEFACTOR * 2.0):
+                if (not s.growing or nq_now <= s.prev_nq) and nq_now < n_total / (
+                    beta * DEFAULT_EDGEFACTOR * 2.0
+                ):
                     s.direction = "top_down"
+                    s.growing = False
+            s.prev_nq = nq_now
 
         # ship per-root frontier bitmap + visited bitmap + direction
         manifest = []
@@ -211,6 +228,10 @@ def bfs_multi(
             for batch in batches:
                 for bid in batch.column(0).to_numpy(zero_copy_only=False):
                     b = int(bid)
+                    # a hash-empty block writes no files (build_blocks only
+                    # emits rows for non-empty partitions) — skip, don't crash
+                    if not os.path.exists(f"{_p}/b{b}_srcs.npy"):
+                        continue
                     srcs = np.load(f"{_p}/b{b}_srcs.npy", mmap_mode="r")
                     indptr = np.asarray(np.load(f"{_p}/b{b}_indptr.npy", mmap_mode="r"))
                     dsts = np.load(f"{_p}/b{b}_dsts.npy", mmap_mode="r")

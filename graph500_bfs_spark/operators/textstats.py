@@ -65,19 +65,45 @@ def fingerprint_md5(text: Column) -> Column:
 
 @pandas_udf("long")
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash (base 257, mod 2^61-1) over UTF-8 bytes —
-    the classic Rabin-style document fingerprint, vectorized per batch.
+    """Polynomial rolling hash (base 257, mod p = 2^61-1) over UTF-8 bytes —
+    the classic Rabin-style document fingerprint.  Fully vectorized: one
+    np.frombuffer over the batch's concatenated bytes, scattered into a
+    LEFT-padded byte matrix (leading zeros keep Horner's state at 0, so the
+    padded hash equals the unpadded one), then a Horner sweep over byte
+    POSITIONS — each step is a whole-batch NumPy op, no per-row Python.
+    h*257 mod p is computed overflow-free in uint64 by splitting h into
+    32-bit halves and folding with 2^61 ≡ 1 (mod p).
     Spark-only (no SQL twin); verified by pytest against a pure-Python
     reference."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        h = 0
-        for b in (t or "").encode("utf-8"):
-            h = (h * BASE + b) % MOD
-        out[i] = h
-    return pd.Series(out)
+    n = len(texts)
+    byts = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in byts), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.frombuffer(b"".join(byts), dtype=np.uint8).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    row_idx = np.repeat(np.arange(n), lens)
+    col_idx = (
+        np.arange(len(flat))
+        - np.repeat(offsets[:-1], lens)
+        + np.repeat(maxlen - lens, lens)
+    )
+    buf = np.zeros((n, maxlen), dtype=np.uint64)
+    buf[row_idx, col_idx] = flat
+    P = np.uint64((1 << 61) - 1)
+    h = np.zeros(n, dtype=np.uint64)
+    u = np.uint64
+    for j in range(maxlen):
+        hi = h >> u(32)
+        lo = h & u(0xFFFFFFFF)
+        t = hi * u(257)  # < 2^37, no overflow
+        # t*2^32 mod p = ((t mod 2^29) << 32) + (t >> 29), both < 2^61
+        x = ((t & u(0x1FFFFFFF)) << u(32)) + (t >> u(29)) + lo * u(257) + buf[:, j]
+        x = (x & P) + (x >> u(61))
+        x = (x & P) + (x >> u(61))
+        h = np.where(x == P, u(0), x)
+    return pd.Series(h.astype(np.int64))
 
 
 def document_stats(docs: DataFrame) -> DataFrame:

@@ -130,3 +130,27 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
         (r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(full, threshold=0.98).collect()
     }
     assert pairs == {(i, i + 100000) for i in range(5)}
+
+
+def test_rolling_fingerprint_matches_pure_python(spark):
+    from graph500_bfs_spark.operators.textstats import rolling_fingerprint
+
+    texts = [
+        "",
+        "a",
+        "hello world",
+        "Ünïcödé — bytes beyond ASCII ☃",
+        "x" * 5000,
+        "the quick brown fox jumps over the lazy dog " * 40,
+        None,
+    ]
+
+    def pure(t):
+        h = 0
+        for b in (t or "").encode("utf-8"):
+            h = (h * 257 + b) % ((1 << 61) - 1)
+        return h
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["fp"] for r in df.select("i", rolling_fingerprint("text").alias("fp")).collect()}
+    assert got == {i: pure(t) for i, t in enumerate(texts)}

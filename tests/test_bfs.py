@@ -114,3 +114,18 @@ def test_alpha_beta_autotune(spark):
     best = tune_alpha_beta(spark, es, [4], deg, n, m, alphas=(5.0, 20.0), betas=(14.0,))
     assert best["alpha"] in (5.0, 20.0) and best["beta"] == 14.0
     assert best["harmonic_mean_TEPS"] > 0
+
+
+def test_harmonic_stddev_matches_norris_formula():
+    """Reference logfile.h:110-112 prints std(recip, ddof=1) /
+    (mean(recip)^2 * sqrt(n-1)).  Hand-compute for teps = [1, 2, 4]:
+    recip = [1, 1/2, 1/4], mean = 7/12, hmean = 12/7,
+    std(ddof=1) = sqrt(21)/12, hstd = sqrt(21)/12 * (12/7)^2 / sqrt(2)."""
+    import math
+
+    from graph500_bfs_spark.operators.graph500 import teps_stats
+
+    s = teps_stats([1, 2, 4], [1.0, 1.0, 1.0])
+    expect = (math.sqrt(21) / 12) * (12 / 7) ** 2 / math.sqrt(2)
+    assert abs(s["harmonic_mean_TEPS"] - 12 / 7) < 1e-12
+    assert abs(s["harmonic_stddev_TEPS"] - expect) < 1e-12
