@@ -478,6 +478,131 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection over the embeddings table WITH PLANTED DUPLICATES:
+    vec_id < 5 are copied verbatim to vec_id + 1_000_000, so the entry must
+    return exactly those 5 pairs (plus any organic ≥0.9 pairs — none in the
+    driver's uniform testdata) and can actually FAIL.  The DuckDB oracle is
+    brute-force cosine over the same augmented table, so a hash match also
+    certifies 100% LSH recall on the planted pairs."""
     from graph500_bfs_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.9)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
+
+
+# ------------------------------------------------------------------
+# Round-2 oracles for the previously rows-only entries.
+# ------------------------------------------------------------------
+
+# Sign-LSH bucket construction, SQL twin of _hyperplane_sign/lsh_buckets
+# (operators/similarity.py): hyperplane component j of (table t, plane p) is
+# md5-derived, so DuckDB reproduces the exact bucket keys.
+_LSH_BUCKETS = """
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM emb),
+proj AS (
+  SELECT c.vec_id, t.t, p.p,
+         SUM(c.x * (((CAST(('0x' || substr(md5(t.t || '_' || p.p || '_' || (c.j - 1)), 1, 8))
+                          AS BIGINT) / 4294967296.0) * 2.0) - 1.0)) AS s
+  FROM comp c,
+       (SELECT unnest(range({n_tables})) AS t) t,
+       (SELECT unnest(range({n_planes})) AS p) p
+  GROUP BY c.vec_id, t.t, p.p),
+buck AS (
+  SELECT vec_id, t, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, t)
+"""
+
+ORACLES["lsh_topk"] = f"""
+WITH {_LSH_BUCKETS.format(n_tables=16, n_planes=4)},
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buck WHERE vec_id < 10),
+cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+         FROM qb JOIN buck b ON b.t = qb.t AND b.bucket = qb.bucket
+         WHERE b.vec_id != qb.query_id),
+scored AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, nb.v) AS cos
+           FROM cand c
+           JOIN emb q ON q.vec_id = c.query_id
+           JOIN emb nb ON nb.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5"""
+
+ORACLES["ivf_topk"] = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid, v AS cv FROM emb WHERE vec_id < 16),
+assign AS (SELECT vec_id, centroid FROM (
+    SELECT e.vec_id, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid) AS rk
+    FROM emb e, cents c) WHERE rk = 1),
+qprobe AS (SELECT query_id, centroid FROM (
+    SELECT q.vec_id AS query_id, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.centroid) AS rk
+    FROM emb q, cents c WHERE q.vec_id < 10) WHERE rk <= 4),
+cand AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+         FROM qprobe qp JOIN assign a ON a.centroid = qp.centroid
+         WHERE a.vec_id != qp.query_id),
+scored AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, nb.v) AS cos
+           FROM cand c
+           JOIN emb q ON q.vec_id = c.query_id
+           JOIN emb nb ON nb.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5"""
+
+ORACLES["embedding_near_dup"] = """
+WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+emb AS (SELECT * FROM emb0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, v FROM emb0 WHERE vec_id < 5)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(1e9 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cosine_ppb
+FROM emb a, emb b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(1e9 * list_cosine_similarity(a.v, b.v)) >= 900000000"""
+
+# MinHash banded-LSH pairs: band key = md5 of '_'-joined (band, h...) strings,
+# identical construction to operators/dedup.py minhash_lsh_pairs (k=8, bands=4).
+_LSH_BANDS = ",\n".join(
+    "  SELECT doc_id, md5('{b}_' || CAST(h{i0} AS VARCHAR) || '_' || CAST(h{i1} AS VARCHAR)) "
+    "AS bucket FROM sig".format(b=b, i0=2 * b, i1=2 * b + 1)
+    for b in range(4)
+).replace(",\n  SELECT", " UNION ALL\n  SELECT")
+
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH {_SHINGLES2},
+sig AS ({_minhash_sql(8).split('WITH ' + _SHINGLES2.strip())[-1] if False else ''}
+  SELECT doc_id,
+         {",".join("MIN(" + _H15.format(expr=f"'{i}:' || shingle") + f") AS h{i}" for i in range(8))}
+  FROM shin GROUP BY doc_id),
+bands AS (
+{_LSH_BANDS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.bucket = y.bucket
+         WHERE x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shin GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN shin a ON a.doc_id = c.doc_a
+          JOIN shin b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(1e9 * i.i / (sa.sz + sb.sz - i.i)) AS BIGINT) AS jaccard_ppb
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(1e9 * i.i / (sa.sz + sb.sz - i.i)) >= 50000000"""
+
+# Bit-exact generator (sources/mrg.py) makes the scale-12 degree histogram a
+# FIXED table: frozen once from the verified pf_nedge-checked edge stream.
+ORACLES["kronecker_degree_hist"] = """
+SELECT CAST(deg AS BIGINT) AS deg, CAST(n_vertices AS BIGINT) AS n_vertices
+FROM (VALUES (1,515),(2,304),(3,244),(4,201),(5,181),(6,127),(7,102),(8,61),(9,59),(10,47),(11,47),(12,65),(13,83),(14,81),(15,98),(16,59),(17,76),(18,63),(19,41),(20,32),(21,27),(22,18),(23,14),(24,7),(25,3),(26,2),(27,2),(28,1),(31,1),(32,4),(34,3),(35,3),(36,5),(37,11),(38,9),(39,10),(40,12),(41,15),(42,28),(43,21),(44,20),(45,25),(46,36),(47,30),(48,25),(49,17),(50,33),(51,24),(52,21),(53,26),(54,15),(55,20),(56,13),(57,15),(58,14),(59,9),(60,5),(61,3),(62,3),(63,2),(64,4),(65,2),(66,2),(67,3),(68,1),(69,3),(71,1),(117,1),(122,1),(125,1),(126,1),(128,2),(129,1),(130,3),(131,1),(132,1),(133,1),(134,3),(135,2),(136,2),(137,4),(138,4),(139,3),(140,6),(141,5),(142,3),(143,6),(144,4),(145,3),(146,7),(147,7),(148,6),(149,3),(150,10),(151,13),(152,9),(153,10),(154,8),(155,6),(156,1),(157,6),(158,9),(159,3),(160,6),(161,4),(162,8),(163,5),(164,7),(165,1),(166,2),(167,4),(168,4),(169,4),(170,1),(171,2),(172,1),(174,1),(175,2),(176,2),(177,3),(178,2),(179,1),(181,1),(184,2),(185,1),(439,1),(441,1),(446,1),(449,2),(452,1),(454,1),(456,2),(458,1),(461,1),(466,1),(467,1),(469,1),(472,2),(473,1),(474,1),(475,1),(477,2),(478,1),(479,3),(481,3),(482,3),(483,1),(484,1),(485,2),(486,1),(487,1),(488,1),(489,1),(490,2),(492,2),(493,1),(495,1),(496,2),(498,1),(499,2),(500,1),(501,1),(502,3),(503,2),(504,1),(507,1),(509,1),(512,1),(514,1),(518,2),(521,1),(523,1),(1505,1),(1508,1),(1521,1),(1525,3),(1528,1),(1539,1),(1544,1),(1545,1),(1550,1),(1557,1),(4764,1)) AS t(deg, n_vertices)"""

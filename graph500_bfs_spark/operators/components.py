@@ -178,13 +178,22 @@ def tree_levels(tree_parents: DataFrame, base_levels: DataFrame, max_hops: int =
     return out
 
 
-def bfs_with_corebfs(edges_sym: DataFrame, root: int, **bfs_kwargs):
+def bfs_with_corebfs(
+    edges_sym: DataFrame, root: int, dict_ascent_budget: int = 1_000_000, **bfs_kwargs
+):
     """CoreBFS pipeline (reference -C mode, §2.4 C1–C4): prune the tree
     forest, BFS only the 2-core, then splice exact tree levels back.
 
     If the root itself is a tree vertex, ascend its (short) tree path to
     the core (C2, corebfs.hpp:125-157) and seed the core BFS at the
     ascent depth; the walked path is spliced in with exact levels.
+
+    C2 ascent strategy: the path has ≤ prune_trees-iteration hops (≤32), so
+    above ``dict_ascent_budget`` tree vertices the ascent runs as per-hop
+    DISTRIBUTED point lookups on the cached tree_parents table — no O(|V|)
+    driver collect (on R-MAT roughly half the vertices are tree vertices,
+    so the dict path would collect tens of millions of rows at scale ≥23).
+    Below the budget a driver dict is faster and harmless.
     """
     from graph500_bfs_spark.operators.bfs import bfs
 
@@ -192,18 +201,25 @@ def bfs_with_corebfs(edges_sym: DataFrame, root: int, **bfs_kwargs):
     core_edges, tree_parents = prune_trees(edges_sym)
     tree_parents = tree_parents.cache()
 
-    # C2: ascend root→core through tree_parents (driver-side point lookups;
-    # path length is tiny — ≤ prune iterations)
+    # C2: ascend root→core through tree_parents (path length ≤ prune iters)
     path = []  # [(vertex, depth-from-root)]
     cur = int(root)
     depth = 0
-    tp = {r["v"]: r["parent"] for r in tree_parents.collect()} if tree_parents.count() < 5_000_000 else None
-    if tp is None:
-        raise NotImplementedError("driver-side ascent map exceeds budget; use join ascent")
-    while cur in tp:
-        path.append((cur, depth))
-        cur = tp[cur]
-        depth += 1
+    n_tree = tree_parents.count()
+    if n_tree < dict_ascent_budget:
+        tp = {r["v"]: r["parent"] for r in tree_parents.collect()}
+        while cur in tp:
+            path.append((cur, depth))
+            cur = tp[cur]
+            depth += 1
+    else:
+        while True:
+            hit = tree_parents.filter(F.col("v") == cur).select("parent").take(1)
+            if not hit:
+                break
+            path.append((cur, depth))
+            cur = int(hit[0][0])
+            depth += 1
     core_root = cur
     core_has_edges = not core_edges.filter(F.col("src") == core_root).isEmpty()
 

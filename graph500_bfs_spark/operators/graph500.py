@@ -83,6 +83,58 @@ def sample_roots(
     return roots
 
 
+def sample_roots_spec(
+    degrees: DataFrame,
+    scale: int,
+    n_roots: int,
+    r1: int = 0,
+    r2: int = 0,
+    seed1: int = 2,
+    seed2: int = 3,
+) -> list[int]:
+    """T1 with the EXACT reference protocol
+    (/root/reference/mpi/benchmark_helper.hpp:528-560): candidates come from
+    the deterministic make_random_numbers double stream at seeds
+    (seed1+r1, seed2+r2); a candidate is accepted if not a duplicate and the
+    vertex has >=1 edge.  The candidate stream is independent of acceptance,
+    so we materialize it in batches, resolve all has_edge answers in ONE
+    broadcast-joined lookup, and replay the sequential protocol locally —
+    same roots as the reference's per-candidate allreduce loop."""
+    from graph500_bfs_spark.sources.mrg import make_random_numbers
+
+    n = 1 << scale
+    connected = degrees.filter(F.col("deg") > 0).select("v")
+    roots: list[int] = []
+    counter = 0
+    while len(roots) < n_roots and counter <= 2 * n:
+        # next batch of candidates from the fixed stream
+        k = 4 * n_roots
+        d = make_random_numbers(2 * k, seed1 + r1, seed2 + r2, counter)
+        # one double per stream position; a candidate consumes two doubles
+        # and counter advances by 2 per try, taken or not
+        cands = [int((d[2 * i] + d[2 * i + 1]) * n) % n for i in range(k)]
+        lookup = degrees.sparkSession.createDataFrame(
+            [(c,) for c in dict.fromkeys(cands)], "v long"
+        )
+        ok = {
+            r["v"]
+            for r in lookup.join(
+                connected.withColumnRenamed("v", "cv"), lookup["v"] == F.col("cv"), "left_semi"
+            ).collect()
+        }
+        for c in cands:
+            counter += 2
+            if counter > 2 * n:
+                break
+            if c in roots:
+                continue
+            if c in ok:
+                roots.append(c)
+                if len(roots) == n_roots:
+                    break
+    return roots
+
+
 def summary_stats(values: list[float]) -> dict:
     """min/quartiles/median/max/mean/stddev (reference get_statistics,
     /root/reference/mpi/logfile.h:27-52)."""
@@ -151,10 +203,23 @@ def run_graph500_benchmark(
     adj.count()
     construction_s = _time.perf_counter() - t0
 
+    # root eligibility follows the reference's has_edge on the CONSTRUCTED
+    # graph (self-loops removed during CSR build), not the raw edge list
+    root_deg = (
+        es.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .cache()
+    )
+
     seed_bump = 0
     while True:
-        roots = sample_roots(deg, n_roots, seed1=2 + seed_bump, seed2=3 + seed_bump,
-                             max_vertex=1 << scale)
+        if extra_edges is None:
+            # pure Kronecker graph: the exact Graph500 root protocol
+            roots = sample_roots_spec(root_deg, scale, n_roots, r1=seed_bump, r2=seed_bump)
+        else:
+            roots = sample_roots(root_deg, n_roots, seed1=2 + seed_bump, seed2=3 + seed_bump,
+                                 max_vertex=1 << scale)
         times, nedges, levels = [], [], []
         for r in roots:
             state, met = bfs(es, r, degrees=deg, n_vertices=n_total, m_edges=m_dir,

@@ -125,6 +125,7 @@ def kronecker_edges(
     seed1: int = USERSEED1,
     seed2: int = USERSEED2,
     partitions: int | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Distributed deterministic R-MAT edge table edges(src, dst).
 
@@ -132,18 +133,40 @@ def kronecker_edges(
     edgefactor 16 this is ~140T rows — the range source splits evenly and
     every partition generates independently (the reference's round-robin
     chunk loop, /root/reference/mpi/benchmark_helper.hpp:152-241).
+
+    ``exact=True`` (default) produces the BIT-EXACT Graph500 edge stream —
+    the same (scramble(u), scramble(v)) per edge index as the reference's
+    RmatGraphGenerator<…,5700,1900> (graph_generator.hpp:781-892), via the
+    splittable-MRG skip-ahead in sources/mrg.py; verified end-to-end by
+    reproducing pf_nedge[scale] traversed-edge checksums
+    (/root/reference/mpi/utils.hpp:3687-3733) in tests/test_sources.py.
+    ``exact=False`` keeps the faster stateless splitmix64 variant (same
+    R-MAT family, not the spec graph).
     """
     m = edgefactor << scale
     parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
     out_schema = pa.schema([pa.field("src", pa.int64()), pa.field("dst", pa.int64())])
 
-    def gen(batches):
-        for batch in batches:
-            idx = batch.column(0).to_numpy(zero_copy_only=False)
-            s, d = rmat_edges_numpy(idx, scale, seed1, seed2)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(s, pa.int64()), pa.array(d, pa.int64())], schema=out_schema
-            )
+    if exact:
+        from graph500_bfs_spark.sources.mrg import graph500_edge_batch
+
+        def gen(batches):
+            for batch in batches:
+                idx = batch.column(0).to_numpy(zero_copy_only=False)
+                s, d = graph500_edge_batch(idx, scale, seed1, seed2)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(s, pa.int64()), pa.array(d, pa.int64())], schema=out_schema
+                )
+
+    else:
+
+        def gen(batches):
+            for batch in batches:
+                idx = batch.column(0).to_numpy(zero_copy_only=False)
+                s, d = rmat_edges_numpy(idx, scale, seed1, seed2)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(s, pa.int64()), pa.array(d, pa.int64())], schema=out_schema
+                )
 
     df = spark.range(0, m, numPartitions=parts).mapInArrow(gen, "src long, dst long")
     return df
@@ -158,8 +181,12 @@ def initial_edges(
 ) -> DataFrame:
     """S4 — optional connectivity-guaranteeing seed edges (spec2012 path,
     cf. generateInitialEdge /root/reference/generator/graph_generator.hpp:685-716):
-    scrambled binary-tree or Hamiltonian-cycle edges over [0, 2^scale)."""
+    binary-tree or Hamiltonian-cycle edges over [0, 2^scale), relabeled with
+    the EXACT reference scramble (sources/mrg.py)."""
+    from graph500_bfs_spark.sources.mrg import scramble_exact, scramble_vals
+
     n = 1 << scale
+    val0, val1 = scramble_vals(seed1, seed2)
     out_schema = pa.schema([pa.field("src", pa.int64()), pa.field("dst", pa.int64())])
 
     def gen(batches):
@@ -173,8 +200,8 @@ def initial_edges(
                 raise ValueError(kind)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(scramble(a, scale, seed1, seed2), pa.int64()),
-                    pa.array(scramble(b, scale, seed1, seed2), pa.int64()),
+                    pa.array(scramble_exact(a, scale, val0, val1), pa.int64()),
+                    pa.array(scramble_exact(b, scale, val0, val1), pa.int64()),
                 ],
                 schema=out_schema,
             )

@@ -43,3 +43,39 @@ def test_graph500_protocol_midscale_validated(spark):
     assert rep["n_roots"] == 3
     assert rep["TEPS_harmonic_mean_TEPS"] > 0
     assert all(lv > 3 for lv in rep["levels"])
+
+
+def test_corebfs_join_ascent_forced_kronecker(spark):
+    """Force the distributed per-hop ascent (dict_ascent_budget=0) on a
+    Kronecker graph with a tree-vertex root and check exact parity with the
+    driver-dict path AND plain BFS levels."""
+    from graph500_bfs_spark.operators.bfs import bfs
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=10, edgefactor=4)).cache()
+    # pick a degree-1 vertex (a tree leaf) as root to exercise the ascent
+    from pyspark.sql import functions as F
+
+    deg1 = (
+        es.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .filter("deg = 1")
+        .orderBy("v")
+        .take(1)
+    )
+    assert deg1, "expected at least one leaf in a sparse R-MAT"
+    root = int(deg1[0]["v"])
+
+    state_join, _ = bfs_with_corebfs(es, root, dict_ascent_budget=0)
+    state_dict, _ = bfs_with_corebfs(es, root)
+    got_join = {(r["v"], r["level"]) for r in state_join.collect()}
+    got_dict = {(r["v"], r["level"]) for r in state_dict.collect()}
+    assert got_join == got_dict
+
+    plain, _ = bfs(es, root)
+    levels_plain = {r["v"]: r["level"] for r in plain.collect()}
+    levels_join = {r["v"]: r["level"] for r in state_join.collect()}
+    assert levels_join == levels_plain
+    res = complete_result(state_join, vertex_ids(es))
+    assert_valid_bfs(res, es, root)

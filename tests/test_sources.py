@@ -78,13 +78,92 @@ def test_rmat_deterministic_and_distribution():
 
 
 def test_kronecker_spark_matches_local(spark):
+    from graph500_bfs_spark.sources.mrg import graph500_edge_batch
+
+    idx = np.arange(0, 4 << 8, dtype=np.int64)
+
+    # exact (default) path == local bit-exact generator
     df = kronecker_edges(spark, scale=8, edgefactor=4, partitions=4)
     got = df.orderBy("src", "dst").collect()
-    idx = np.arange(0, 4 << 8, dtype=np.int64)
-    s, d = rmat_edges_numpy(idx, scale=8)
+    s, d = graph500_edge_batch(idx, scale=8)
     want = sorted(zip(s.tolist(), d.tolist()))
     assert [(r["src"], r["dst"]) for r in got] == want
     assert df.count() == 4 << 8
+
+    # fast splitmix path == its local twin
+    df2 = kronecker_edges(spark, scale=8, edgefactor=4, partitions=4, exact=False)
+    got2 = df2.orderBy("src", "dst").collect()
+    s2, d2 = rmat_edges_numpy(idx, scale=8)
+    want2 = sorted(zip(s2.tolist(), d2.tolist()))
+    assert [(r["src"], r["dst"]) for r in got2] == want2
+
+
+def _union_find_component(n, src, dst, root):
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in zip(src.tolist(), dst.tolist()):
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+
+    r = find(root)
+    return np.fromiter((find(i) == r for i in range(n)), dtype=bool, count=n)
+
+
+def test_pf_nedge_checksum_bit_exact_generator():
+    """End-to-end bit-exactness: reproduce the reference's pf_nedge[scale]
+    traversed-edge checksums (/root/reference/mpi/utils.hpp:3687-3733) —
+    the count of generated edge slots (self-loops and duplicates included,
+    validate.hpp:840-872) whose endpoints are reached from the first
+    protocol root (find_roots, benchmark_helper.hpp:528-560).  Any single-
+    bit deviation in the MRG skip, Bernoulli descent, rejection sampling,
+    or scramble changes these counts."""
+    from graph500_bfs_spark.sources.mrg import find_roots_exact, graph500_edge_batch
+
+    pf_nedge = {10: 16383, 12: 65535, 13: 131070, 14: 262144}
+    for scale, expected in pf_nedge.items():
+        m, n = 16 << scale, 1 << scale
+        src, dst = graph500_edge_batch(np.arange(m, dtype=np.int64), scale)
+        deg = np.zeros(n, dtype=np.int64)
+        nl = src != dst
+        np.add.at(deg, src[nl], 1)
+        np.add.at(deg, dst[nl], 1)
+        roots = find_roots_exact(scale, 1, lambda v: deg[v] > 0)
+        in_comp = _union_find_component(n, src, dst, roots[0])
+        assert in_comp[roots[0]]
+        # every slot whose src is reached (tgt is then reached too)
+        assert int(in_comp[src].sum()) == expected, scale
+
+
+def test_mrg_batch_matches_scalar():
+    """The vectorized skip/step/descent agree with the scalar Python-int
+    path at every stage (same algebra, independent implementations)."""
+    from graph500_bfs_spark.sources import mrg
+
+    z = mrg.make_mrg_seed(2, 3)
+    zs = z
+    for _ in range(997):
+        _, zs = mrg.mrg_next(zs)
+    assert mrg.mrg_skip(z, 997) == zs
+
+    idx = np.array([0, 1, 255, 256, 65535, 10**7], dtype=np.int64)
+    Z = mrg.mrg_state_batch(idx, 2, 3)
+    for j, i in enumerate(idx):
+        assert tuple(int(Z[r, j]) for r in range(5)) == mrg.mrg_skip(z, int(i) << 64)
+
+    val, Z2 = mrg._step_batch(Z)
+    for j in range(len(idx)):
+        v, zn = mrg.mrg_next(tuple(int(Z[r, j]) for r in range(5)))
+        assert int(val[j]) == v
+        assert tuple(int(Z2[r, j]) for r in range(5)) == zn
 
 
 def test_initial_edges_connectivity(spark):
