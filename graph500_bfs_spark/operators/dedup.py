@@ -3,8 +3,8 @@
 Five methods, all declarative DataFrame plans (no per-row Python):
 
 * :func:`exact_dup_groups` — hash-groupBy on a content fingerprint.
-* :func:`shingle_table` — word n-gram shingling (windowed collect over a
-  posexplode — one shuffle per doc partition).
+* :func:`shingle_table` — word n-gram shingling, shuffle-free (array-native
+  transform over the split token array).
 * :func:`ngram_jaccard_pairs` — inverted-index self-join on shingles →
   per-pair intersection counts → exact Jaccard.  The index join is the
   scale-sensitive step: shingles shared by too many docs ("stop shingles")
@@ -25,7 +25,7 @@ machinery over LSH buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SHINGLE_N = 5
@@ -52,18 +52,22 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def shingle_table(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    """(doc_id, shingle) distinct word n-grams.
+
+    SHUFFLE-FREE: built array-natively with transform over the split token
+    array (dedup via array_distinct before the explode), instead of the
+    posexplode + collect_list-over-window formulation whose window was one
+    doc_id shuffle per call — at 100 TB the shuffle was pure overhead since
+    shingling is a per-row operation.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.transform(starts, gram))).alias("shingle")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, n - 1)
-    sh = toks.select(
-        "doc_id",
-        "pos",
-        F.concat_ws(" ", F.collect_list("tok").over(w)).alias("shingle"),
-        F.count("tok").over(w).alias("wlen"),
-    ).filter(F.col("wlen") == n)
-    return sh.select("doc_id", "shingle").distinct()
 
 
 def ngram_jaccard_pairs(

@@ -284,3 +284,93 @@ def tune_alpha_beta(
             if best is None or hm > best["harmonic_mean_TEPS"]:
                 best = {"alpha": a, "beta": b, "harmonic_mean_TEPS": hm}
     return best
+
+
+def _switch_candidates(supersteps: list[dict], m_edges: int, n_vertices: int,
+                       edgefactor: float) -> tuple[set[float], set[float]]:
+    """Candidate (alphas, betas) that would move this run's recorded
+    direction-switch levels by ±1 — derived from the per-superstep frontier
+    telemetry exactly as the reference tuner derives its next parameter from
+    AUTO_GLOBAL_NQ_EDGES / AUTO_GLOBAL_NQ_SIZE
+    (/root/reference/mpi/main.cc:147-162)."""
+    alphas: set[float] = set()
+    betas: set[float] = set()
+    visited = 0
+    for i, st in enumerate(supersteps):
+        prev = supersteps[i - 1] if i else None
+        if st["direction"] == "bottom_up" and (prev is None or prev["direction"] == "top_down"):
+            # T2B fired here: nq_edges > (m - visited)/alpha
+            if prev is not None and prev["frontier_edges"] > 0:
+                vis_prev = visited - prev["frontier_edges"]
+                alphas.add((m_edges - vis_prev) / prev["frontier_edges"] * 1.01)  # 1 earlier
+            if st["frontier_edges"] > 0:
+                alphas.add((m_edges - visited) / st["frontier_edges"] * 0.99)  # 1 later
+        if prev is not None and st["direction"] == "top_down" and prev["direction"] == "bottom_up":
+            # B2T fired here: nq < n/(beta * edgefactor * 2)
+            if prev["frontier_size"] > 0:
+                betas.add(n_vertices / (prev["frontier_size"] * edgefactor * 2.0) * 0.99)
+            if st["frontier_size"] > 0:
+                betas.add(n_vertices / (st["frontier_size"] * edgefactor * 2.0) * 1.01)
+        visited += st["frontier_edges"]
+    return alphas, betas
+
+
+def tune_alpha_beta_telemetry(
+    spark,
+    edges_sym: DataFrame,
+    roots: list[int],
+    degrees: DataFrame,
+    n_vertices: int,
+    m_edges: int,
+    adjacency: DataFrame | None = None,
+    alpha0: float = 10.0,
+    beta0: float = 14.0,
+    max_steps: int = 3,
+    edgefactor: float = 16.0,
+) -> dict:
+    """B11 full form — the reference's TELEMETRY-DRIVEN rerun loop
+    (/root/reference/mpi/main.cc:45-391): each run records the frontier
+    sizes/edge counts at its direction-switch levels; the next candidate
+    parameter is computed from that telemetry so the switch moves exactly
+    one level; reruns continue while harmonic-mean TEPS improves and the
+    previous best is restored on regress.  (The grid-search variant
+    ``tune_alpha_beta`` remains as the cheap fallback.)"""
+    from graph500_bfs_spark.operators.bfs import bfs
+
+    def run_all(a: float, b: float):
+        times, nedges, tele = [], [], []
+        for r in roots:
+            _, met = bfs(edges_sym, r, degrees=degrees, alpha=a, beta=b,
+                         n_vertices=n_vertices, m_edges=m_edges, adjacency=adjacency)
+            times.append(met.total_time_s)
+            nedges.append(met.traversed_edges)
+            tele.append(met.supersteps)
+        return teps_stats(nedges, times)["harmonic_mean_TEPS"], tele
+
+    alpha, beta = float(alpha0), float(beta0)
+    best_hm, tele = run_all(alpha, beta)
+    trail = [{"alpha": alpha, "beta": beta, "harmonic_mean_TEPS": best_hm}]
+
+    for param in ("alpha", "beta"):
+        for _ in range(max_steps):
+            cand_a: set[float] = set()
+            cand_b: set[float] = set()
+            for steps in tele:
+                ca, cb = _switch_candidates(steps, m_edges, n_vertices, edgefactor)
+                cand_a |= ca
+                cand_b |= cb
+            cands = sorted(cand_a if param == "alpha" else cand_b)
+            improved = False
+            for c in cands:
+                a, b = (c, beta) if param == "alpha" else (alpha, c)
+                hm, t2 = run_all(a, b)
+                trail.append({"alpha": a, "beta": b, "harmonic_mean_TEPS": hm})
+                if hm > best_hm:
+                    best_hm, tele = hm, t2
+                    alpha, beta = a, b
+                    improved = True
+                    break  # telemetry changed — recompute candidates
+            if not improved:
+                break  # regress → keep previous best (reference restore)
+
+    return {"alpha": alpha, "beta": beta, "harmonic_mean_TEPS": best_hm, "trail": trail}

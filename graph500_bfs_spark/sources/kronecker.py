@@ -1,27 +1,22 @@
-"""Vectorized Kronecker (R-MAT) graph generator — SURVEY §2.1 S1–S3.
+"""Vectorized Kronecker (R-MAT) graph generator — SURVEY §2.1 S1–S4, S6.
 
-Reimplements the *contract* of the reference generator
-(/root/reference/generator/graph_generator.hpp:781-892): deterministic
-function edge_index → (scramble(u), scramble(v)) with initiator
-A=0.57, B=C=0.19, D=0.05 (instantiation at
-/root/reference/mpi/benchmark_helper.hpp:237) and clip-and-flip symmetry.
+Two generation paths, both deterministic functions edge_index →
+(scramble(u), scramble(v)) with initiator A=0.57, B=C=0.19, D=0.05
+(instantiation /root/reference/mpi/benchmark_helper.hpp:237) and
+clip-and-flip symmetry:
 
-Determinism device: the reference uses a splittable MRG with O(1) skip-ahead
-so any edge index is generated independently on any rank
-(/root/reference/generator/splittable_mrg.c;
-graph_generator.hpp:803-804).  We achieve the same property *statelessly*:
-uniform(level, edge_index) = splitmix64-style avalanche hash of
-(edge_index, level, seeds) mapped to [0,1).  Embarrassingly parallel,
-NumPy-vectorized over Arrow batches — ``spark.range(m)`` → ``mapInArrow``;
-no shuffle, no Python-per-row.  Bit-equality with the reference MRG stream
-is explicitly NOT promised (SURVEY §5.1 "distributional checks the floor");
-the graph is still a pure function of (scale, edgefactor, seeds).
+* ``exact=True`` (default): the BIT-EXACT Graph500 stream via the
+  splittable-MRG skip-ahead + exact scramble in ``sources/mrg.py``
+  (/root/reference/generator/splittable_mrg.c,
+  graph_generator.hpp:781-892) — verified by pf_nedge[scale] checksums.
+* ``exact=False``: a faster stateless variant — splitmix64 avalanche hash
+  of (edge_index, level, seeds) mapped to [0,1), plus a bijective scramble
+  of the same construction family (odd multiply / bitreverse / xor-shift).
+  Same R-MAT family and skew, NOT the spec graph.
 
-The vertex scramble is a *bijection* on [0, 2^scale) built from
-mod-2^scale-bijective primitives (odd multiply, add, xor-shift, bitreverse)
-— same construction family as the reference's
-``scramble``/``bitreverse`` (graph_generator.hpp:569-637) so degree
-distributions are preserved exactly.
+Either way the per-edge skip-ahead property makes generation
+embarrassingly parallel: ``spark.range(m)`` → ``mapInArrow`` NumPy kernel
+— no shuffle, no Python-per-row.
 """
 
 from __future__ import annotations
@@ -208,3 +203,30 @@ def initial_edges(
 
     m = n - 1 if kind == "binary_tree" else n
     return spark.range(0, m).mapInArrow(gen, "src long, dst long")
+
+
+def uniform_edges(
+    spark: SparkSession,
+    scale: int,
+    edgefactor: int = EDGEFACTOR,
+    seed1: int = USERSEED1,
+    seed2: int = USERSEED2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """S6 — uniform random edge table (the reference's RandomGraphGenerator,
+    graph_generator.hpp:744-779; test-only, unused by the benchmark)."""
+    from graph500_bfs_spark.sources.mrg import uniform_edge_batch
+
+    m = edgefactor << scale
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    out_schema = pa.schema([pa.field("src", pa.int64()), pa.field("dst", pa.int64())])
+
+    def gen(batches):
+        for batch in batches:
+            idx = batch.column(0).to_numpy(zero_copy_only=False)
+            s, d = uniform_edge_batch(idx, scale, seed1, seed2)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(s, pa.int64()), pa.array(d, pa.int64())], schema=out_schema
+            )
+
+    return spark.range(0, m, numPartitions=parts).mapInArrow(gen, "src long, dst long")

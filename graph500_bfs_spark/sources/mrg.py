@@ -421,3 +421,21 @@ def find_roots_exact(
         if has_edge(root):
             roots.append(root)
     return roots
+
+
+def uniform_edge_batch(
+    edge_idx: np.ndarray, scale: int, seed1: int = USERSEED1, seed2: int = USERSEED2
+) -> tuple[np.ndarray, np.ndarray]:
+    """S6 — the reference's test-only uniform (Erdős–Rényi-style) generator,
+    bit-exact: per-edge state = seed skipped by edge_index*2^64, then two
+    uint draws masked to [0, 2^scale), both scrambled
+    (/root/reference/generator/graph_generator.hpp:744-779)."""
+    Z = mrg_state_batch(edge_idx, seed1, seed2)
+    mask = np.uint64((1 << scale) - 1)
+    u1, Z = _step_batch(Z)
+    u2, Z = _step_batch(Z)
+    val0, val1 = scramble_vals(seed1, seed2)
+    return (
+        scramble_exact(u1 & mask, scale, val0, val1),
+        scramble_exact(u2 & mask, scale, val0, val1),
+    )

@@ -1,0 +1,140 @@
+"""Full Graph500 64-root protocol run at scale 22 → BENCH/protocol64_s22.json.
+
+Mirrors /root/reference/mpi/main.cc:393-714 with validation_level=1
+semantics (mpi/main.cc:644-660): the FIRST root's result is checked against
+the pf_nedge[scale] traversed-edge checksum (mpi/utils.hpp:3687-3733), then
+every root's TEPS uses that count over its own measured wall time
+(perf[i] = pf_nedge[SCALE] / t, mpi/main.cc:327).
+
+The edge stream is the bit-exact Graph500 generator (sources/mrg.py) and the
+64 roots come from the exact find_roots protocol, so every number here is
+directly comparable to a reference run at the same scale.
+
+Usage: run_protocol64.py [scale] [n_roots] [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from graph500_bfs_spark.operators.graph500 import (  # noqa: E402
+    NUM_BFS_ROOTS,
+    sample_roots_spec,
+    teps_stats,
+)
+from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed  # noqa: E402
+from graph500_bfs_spark.operators.prep import out_degrees, symmetrize  # noqa: E402
+from graph500_bfs_spark.session import get_spark  # noqa: E402
+from graph500_bfs_spark.sources.kronecker import kronecker_edges  # noqa: E402
+
+# /root/reference/mpi/utils.hpp:3687-3733 (edgefactor 16, seeds 2/3)
+PF_NEDGE = {
+    10: 16383, 11: 32767, 12: 65535, 13: 131070, 14: 262144, 15: 524285,
+    16: 1048570, 17: 2097137, 18: 4194250, 19: 8388513, 20: 16776976,
+    21: 33553998, 22: 67108130, 23: 134216177, 24: 268432547,
+}
+
+
+def main():
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    n_roots = int(sys.argv[2]) if len(sys.argv) > 2 else NUM_BFS_ROOTS
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    spark = get_spark(
+        app_name=f"protocol64_s{scale}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 4,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    from pyspark.sql import functions as F
+
+    t_con = time.time()
+    kron = kronecker_edges(spark, scale=scale, edgefactor=16)
+    es = symmetrize(kron, dedup=False).repartition(cores * 4, "src").cache()
+    m_dir = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    # self-loop slot counts per vertex (symmetrize drops them; the pf_nedge
+    # checksum counts every generated slot at a reached vertex incl. loops)
+    loops = {
+        int(r["src"]): int(r["n"])
+        for r in kron.filter(F.col("src") == F.col("dst"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    construction_s = time.time() - t_con
+
+    path = f"/dev/shm/g5_proto_s{scale}"
+    shutil.rmtree(path, ignore_errors=True)
+    nblocks = max(cores, 16)
+    export_blocks_indexed(es, nblocks, path, dvs)
+    roots = sample_roots_spec(deg, scale, n_roots)
+    print(f"construction {construction_s:.0f}s; {len(roots)} protocol roots")
+
+    # validation_level=1: first root full traversed-edge checksum
+    res, met0 = bfs_multi(spark, path, nblocks, [roots[0]], (dvs, ddeg), m_dir)
+    reached = {int(v) for v in res[roots[0]].select("v").toPandas()["v"]}
+    loop_slots = sum(n for v, n in loops.items() if v in reached)
+    checksum = met0.traversed_edges + loop_slots
+    expected = PF_NEDGE.get(scale)
+    print(f"root0 traversed={met0.traversed_edges} +loops={loop_slots} "
+          f"= {checksum} vs pf_nedge[{scale}]={expected} "
+          f"match={checksum == expected}")
+
+    # timed per-root runs (warm after root0); TEPS = pf_nedge/t per spec
+    times = []
+    for i, r in enumerate(roots):
+        t0 = time.perf_counter()
+        _, met = bfs_multi(spark, path, nblocks, [r], (dvs, ddeg), m_dir)
+        times.append(time.perf_counter() - t0)
+        if (i + 1) % 16 == 0:
+            print(f"  {i + 1}/{len(roots)} roots done")
+    edge_count = checksum if expected is None else expected
+    stats = teps_stats([edge_count] * len(roots), times)
+
+    # batch-aggregate leg (all roots concurrently, MS-BFS)
+    _, metb = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)  # warm
+    _, metb = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)
+    shutil.rmtree(path, ignore_errors=True)
+
+    out = {
+        "scale": scale,
+        "edgefactor": 16,
+        "n_roots": len(roots),
+        "cores": cores,
+        "n_vertices": int(len(dvs)),
+        "m_directed": int(m_dir),
+        "construction_s": round(construction_s, 1),
+        "pf_nedge_checksum": {
+            "measured": int(checksum),
+            "expected": expected,
+            "match": bool(checksum == expected),
+        },
+        "bfs_times_s": [round(t, 4) for t in times],
+        "harmonic_mean_TEPS": stats["harmonic_mean_TEPS"],
+        "harmonic_stddev_TEPS": stats["harmonic_stddev_TEPS"],
+        "min_TEPS": stats["min"],
+        "max_TEPS": stats["max"],
+        "msbfs_batch_aggregate_TEPS": metb.teps(),
+        "msbfs_batch_wall_s": round(metb.total_time_s, 3),
+    }
+    dest = REPO / "BENCH" / f"protocol{n_roots}_s{scale}.json"
+    dest.write_text(json.dumps(out, indent=2))
+    print(json.dumps({k: v for k, v in out.items() if k != "bfs_times_s"}, indent=2))
+    print(f"→ {dest}")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,48 @@ def test_harmonic_stddev_matches_norris_formula():
     expect = (math.sqrt(21) / 12) * (12 / 7) ** 2 / math.sqrt(2)
     assert abs(s["harmonic_mean_TEPS"] - 12 / 7) < 1e-12
     assert abs(s["harmonic_stddev_TEPS"] - expect) < 1e-12
+
+
+def test_direction_phases_monotone_no_flipflop(spark):
+    """Growing/shrinking guard (ref bfs.hpp:3414-3429): once the engine
+    switches back to top-down, it must never re-enter bottom-up — the
+    per-superstep direction sequence matches td+ bu* td*."""
+    from graph500_bfs_spark.operators.bfs import bfs
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=13, edgefactor=16), dedup=False).cache()
+    root = int(es.selectExpr("min(src)").collect()[0][0])
+    _, met = bfs(es, root)
+    dirs = [m["direction"] for m in met.supersteps]
+    # collapse runs: e.g. td td bu bu td td -> [td, bu, td]
+    phases = [d for i, d in enumerate(dirs) if i == 0 or d != dirs[i - 1]]
+    assert phases[0] == "top_down"
+    assert len(phases) <= 3, f"direction flip-flop: {dirs}"
+    # a scale-13 ef-16 R-MAT is dense enough that bottom-up engages
+    assert "bottom_up" in dirs, dirs
+    assert all("frontier_repr" in m for m in met.supersteps)
+
+
+def test_alpha_beta_telemetry_tuner(spark):
+    """B11 telemetry-driven rerun loop: candidates derive from recorded
+    switch-level telemetry, the loop converges, and the returned pair is at
+    least as good as the starting harmonic mean."""
+    from graph500_bfs_spark.operators.graph500 import (
+        sample_roots_spec,
+        tune_alpha_beta_telemetry,
+    )
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=10, edgefactor=16), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    n = deg.count()
+    roots = sample_roots_spec(deg, 10, 2)
+    out = tune_alpha_beta_telemetry(
+        spark, es, roots, deg, n, m, max_steps=1
+    )
+    assert out["alpha"] > 0 and out["beta"] > 0
+    assert len(out["trail"]) >= 1
+    assert out["harmonic_mean_TEPS"] >= out["trail"][0]["harmonic_mean_TEPS"]

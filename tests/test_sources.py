@@ -181,3 +181,34 @@ def test_initial_edges_connectivity(spark):
     assert ham.count() == 32
     deg = symmetrize(ham, dedup=False).groupBy("src").count()
     assert deg.filter("count != 2").count() == 0  # every vertex degree 2
+
+
+def test_uniform_edges_spark_matches_local(spark):
+    from graph500_bfs_spark.sources.kronecker import uniform_edges
+    from graph500_bfs_spark.sources.mrg import uniform_edge_batch
+
+    df = uniform_edges(spark, scale=8, edgefactor=4, partitions=4)
+    got = sorted((r["src"], r["dst"]) for r in df.collect())
+    s, d = uniform_edge_batch(np.arange(4 << 8, dtype=np.int64), 8)
+    assert got == sorted(zip(s.tolist(), d.tolist()))
+
+
+def test_sample_roots_spec_matches_scalar_protocol(spark):
+    """The batched Spark-side root sampler replays the reference find_roots
+    protocol exactly: same roots, same order, as the scalar local walk."""
+    from graph500_bfs_spark.operators.graph500 import sample_roots_spec
+    from graph500_bfs_spark.sources.mrg import find_roots_exact, graph500_edge_batch
+
+    scale = 10
+    src, dst = graph500_edge_batch(np.arange(16 << scale, dtype=np.int64), scale)
+    nl = src != dst
+    deg = np.zeros(1 << scale, dtype=np.int64)
+    np.add.at(deg, src[nl], 1)
+    np.add.at(deg, dst[nl], 1)
+    want = find_roots_exact(scale, 8, lambda v: deg[v] > 0)
+
+    deg_df = spark.createDataFrame(
+        [(int(v), int(d)) for v, d in enumerate(deg) if d > 0], "v long, deg long"
+    )
+    got = sample_roots_spec(deg_df, scale, 8)
+    assert got == want
