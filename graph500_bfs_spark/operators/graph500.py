@@ -20,6 +20,19 @@ from pyspark.sql import functions as F
 NUM_BFS_ROOTS = 64  # /root/reference/mpi/parameters.h:88
 TEST_BFS_ROOTS = 16  # /root/reference/mpi/parameters.h:89
 
+# Expected traversed-edge counts per scale (edgefactor 16, seeds 2/3) —
+# /root/reference/mpi/utils.hpp:3687-3733.  Used by validation_level 0
+# (skip-validation TEPS) and as the end-to-end generator checksum; our
+# bit-exact generator reproduces these (tests + BENCH/protocol64_s22.json).
+PF_NEDGE = {
+    1: 32, 2: 64, 3: 128, 4: 256, 5: 512, 6: 1024, 7: 2048, 8: 4096,
+    9: 8192, 10: 16383, 11: 32767, 12: 65535, 13: 131070, 14: 262144,
+    15: 524285, 16: 1048570, 17: 2097137, 18: 4194250, 19: 8388513,
+    20: 16776976, 21: 33553998, 22: 67108130, 23: 134216177,
+    24: 268432547, 25: 536865258, 26: 1073731075, 27: 2147462776,
+    28: 4294927670, 29: 8589858508, 30: 17179724952,
+}
+
 
 def sample_roots(
     degrees: DataFrame, n_roots: int, seed1: int = 2, seed2: int = 3, max_vertex: int | None = None
@@ -178,12 +191,22 @@ def run_graph500_benchmark(
     n_roots: int = TEST_BFS_ROOTS,
     extra_edges: DataFrame | None = None,
     validate: bool = False,
+    validation_level: int | None = None,
     min_levels_repick: int = 3,
 ) -> dict:
     """The full benchmark protocol of mpi/main.cc:393-714 as one callable:
     generate → symmetrize → degree/adjacency build → sample roots (with the
     small-component re-pick of T2, mpi/main.cc:334-359) → per-root timed BFS
-    (+ optional five-check validation) → harmonic-mean TEPS report."""
+    (+ optional five-check validation) → harmonic-mean TEPS report.
+
+    ``validation_level`` mirrors the reference's -v flag
+    (/root/reference/mpi/main.cc:644-664):
+      2 — validate every root (five checks), TEPS from measured traversals;
+      1 — validate the FIRST root only; its traversed-edge count is reused
+          as edge_visit_count for every root (pf_nedge semantics);
+      0 — skip validation entirely; TEPS uses the pf_nedge[scale] table
+          (only valid for pure Kronecker inputs, edgefactor 16, seeds 2/3).
+    ``validate=True`` is the legacy alias for level 2."""
     import time as _time
 
     from graph500_bfs_spark.operators.bfs import bfs, build_adjacency, complete_result
@@ -220,16 +243,27 @@ def run_graph500_benchmark(
         else:
             roots = sample_roots(root_deg, n_roots, seed1=2 + seed_bump, seed2=3 + seed_bump,
                                  max_vertex=1 << scale)
+        level_v = validation_level if validation_level is not None else (2 if validate else None)
         times, nedges, levels = [], [], []
-        for r in roots:
+        first_count: int | None = None
+        for i, r in enumerate(roots):
             state, met = bfs(es, r, degrees=deg, n_vertices=n_total, m_edges=m_dir,
                              adjacency=adj)
             times.append(met.total_time_s)
-            nedges.append(met.traversed_edges)
             levels.append(len(met.supersteps))
-            if validate:
-                res = complete_result(state, vertex_ids(es))
-                assert_valid_bfs(res, es, r)
+            if level_v == 0:
+                nedges.append(PF_NEDGE.get(scale, met.traversed_edges))
+            elif level_v == 1:
+                if i == 0:
+                    res = complete_result(state, vertex_ids(es))
+                    assert_valid_bfs(res, es, r)
+                    first_count = met.traversed_edges
+                nedges.append(first_count)
+            else:
+                nedges.append(met.traversed_edges)
+                if validate or level_v == 2:
+                    res = complete_result(state, vertex_ids(es))
+                    assert_valid_bfs(res, es, r)
         # T2: if any root's BFS ended at ≤3 levels (tiny component), resample
         # the whole root set with bumped seeds (mpi/main.cc:334-359)
         if scale <= 6 or all(lv > min_levels_repick for lv in levels) or seed_bump >= 3:

@@ -66,23 +66,33 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "media_type": [], "width": [], "height": [],
-                    "duration_ms": [], "n_bytes": []}
-            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:4] != _MAGIC:
-                    raise NotImplementedError(
-                        "real codec decode not available in this container; "
-                        "only G5MM fake headers are supported"
-                    )
-                t, w, h, dur = struct.unpack("<BhhI", b[4:13])
-                rows["doc_id"].append(int(doc_id))
-                rows["media_type"].append(mt)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["duration_ms"].append(int(dur))
-                rows["n_bytes"].append(len(b))
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            # whole-batch header decode: one concat of the fixed 13-byte
+            # prefixes, then columnar uint8 views — no per-field Python
+            pays = [bytes(p) for p in pdf["payload"]]
+            pref = np.frombuffer(
+                b"".join(p[:13] for p in pays), dtype=np.uint8
+            ).reshape(-1, 13)
+            magic = np.frombuffer(_MAGIC, dtype=np.uint8)
+            if not (pref[:, :4] == magic).all():
+                raise NotImplementedError(
+                    "real codec decode not available in this container; "
+                    "only G5MM fake headers are supported"
+                )
+            w = pref[:, 5:7].copy().view("<i2").ravel().astype(np.int32)
+            h = pref[:, 7:9].copy().view("<i2").ravel().astype(np.int32)
+            dur = pref[:, 9:13].copy().view("<u4").ravel().astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(np.int64),
+                    "media_type": pdf["media_type"],
+                    "width": w,
+                    "height": h,
+                    "duration_ms": dur.astype(np.int32),
+                    "n_bytes": np.fromiter((len(p) for p in pays), np.int64, len(pays)),
+                }
+            )
 
     return media.mapInPandas(parse, META_SCHEMA)
 

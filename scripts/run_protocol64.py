@@ -28,6 +28,7 @@ sys.path.insert(0, str(REPO))
 
 from graph500_bfs_spark.operators.graph500 import (  # noqa: E402
     NUM_BFS_ROOTS,
+    PF_NEDGE,
     sample_roots_spec,
     teps_stats,
 )
@@ -36,12 +37,6 @@ from graph500_bfs_spark.operators.prep import out_degrees, symmetrize  # noqa: E
 from graph500_bfs_spark.session import get_spark  # noqa: E402
 from graph500_bfs_spark.sources.kronecker import kronecker_edges  # noqa: E402
 
-# /root/reference/mpi/utils.hpp:3687-3733 (edgefactor 16, seeds 2/3)
-PF_NEDGE = {
-    10: 16383, 11: 32767, 12: 65535, 13: 131070, 14: 262144, 15: 524285,
-    16: 1048570, 17: 2097137, 18: 4194250, 19: 8388513, 20: 16776976,
-    21: 33553998, 22: 67108130, 23: 134216177, 24: 268432547,
-}
 
 
 def main():

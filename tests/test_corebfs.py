@@ -79,3 +79,35 @@ def test_corebfs_join_ascent_forced_kronecker(spark):
     assert levels_join == levels_plain
     res = complete_result(state_join, vertex_ids(es))
     assert_valid_bfs(res, es, root)
+
+
+def test_validation_levels_protocol(spark):
+    """-v 0/1/2 semantics (reference mpi/main.cc:644-664): level 1 reuses the
+    first root's validated traversed-edge count for every root; level 0 takes
+    it from the pf_nedge table; level 2 validates and measures per root."""
+    from graph500_bfs_spark.operators.graph500 import PF_NEDGE, run_graph500_benchmark
+
+    r2 = run_graph500_benchmark(spark, scale=10, edgefactor=16, n_roots=2,
+                                validation_level=2)
+    r1 = run_graph500_benchmark(spark, scale=10, edgefactor=16, n_roots=2,
+                                validation_level=1)
+    r0 = run_graph500_benchmark(spark, scale=10, edgefactor=16, n_roots=2,
+                                validation_level=0)
+    # level 1: every root carries the FIRST root's count
+    assert len(set(r1["traversed_edges"])) == 1
+    # level 0: the pf_nedge table entry — and since the generator is
+    # bit-exact, level 1's validated count must agree up to self-loop slots
+    # (our traversed counter excludes self-loops; pf_nedge includes them)
+    assert r0["traversed_edges"][0] == PF_NEDGE[10] == 16383
+    # our traversed counter excludes self-loop slots (symmetrize drops them);
+    # pf_nedge counts them at reached vertices — the gap is bounded by the
+    # graph's total self-loop slot count
+    import numpy as np
+
+    from graph500_bfs_spark.sources.mrg import graph500_edge_batch
+
+    src, dst = graph500_edge_batch(np.arange(16 << 10, dtype=np.int64), 10)
+    n_loops = int((src == dst).sum())
+    assert 0 <= PF_NEDGE[10] - r1["traversed_edges"][0] <= n_loops
+    # level 2 measures per root; roots in the same component agree
+    assert all(t > 0 for t in r2["traversed_edges"])

@@ -128,7 +128,7 @@ def test_pf_nedge_checksum_bit_exact_generator():
     or scramble changes these counts."""
     from graph500_bfs_spark.sources.mrg import find_roots_exact, graph500_edge_batch
 
-    pf_nedge = {10: 16383, 12: 65535, 13: 131070, 14: 262144}
+    pf_nedge = {10: 16383, 12: 65535, 13: 131070, 14: 262144, 16: 1048570}
     for scale, expected in pf_nedge.items():
         m, n = 16 << scale, 1 << scale
         src, dst = graph500_edge_batch(np.arange(m, dtype=np.int64), scale)
@@ -137,7 +137,21 @@ def test_pf_nedge_checksum_bit_exact_generator():
         np.add.at(deg, src[nl], 1)
         np.add.at(deg, dst[nl], 1)
         roots = find_roots_exact(scale, 1, lambda v: deg[v] > 0)
-        in_comp = _union_find_component(n, src, dst, roots[0])
+        if scale <= 13:
+            in_comp = _union_find_component(n, src, dst, roots[0])
+        else:  # vectorized HashMin + pointer doubling for the bigger scales
+            lab = np.arange(n, dtype=np.int64)
+            u, v = src[nl], dst[nl]
+            while True:
+                mn = np.minimum(lab[u], lab[v])
+                new = lab.copy()
+                np.minimum.at(new, u, mn)
+                np.minimum.at(new, v, mn)
+                new = new[new]
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            in_comp = lab == lab[roots[0]]
         assert in_comp[roots[0]]
         # every slot whose src is reached (tgt is then reached too)
         assert int(in_comp[src].sum()) == expected, scale
