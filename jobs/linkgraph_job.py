@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--run-id", default=None)
     p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--validation-level", type=int, choices=(0, 1, 2), default=None,
+                   help="Graph500 -v: 0 pf_nedge table, 1 first-root, 2 every root")
     args = p.parse_args(argv)
 
     from graph500_bfs_spark.plans.checkpoint import CheckpointManager
@@ -84,7 +86,10 @@ def main(argv=None):
     elif args.algo == "graph500":
         from graph500_bfs_spark.operators.graph500 import run_graph500_benchmark
 
-        result.update(run_graph500_benchmark(spark, args.scale, args.edgefactor, args.roots))
+        result.update(run_graph500_benchmark(
+            spark, args.scale, args.edgefactor, args.roots,
+            validation_level=args.validation_level,
+        ))
     else:
         es = symmetrize(load_edges()).cache()
         if args.algo in ("bfs", "corebfs"):
