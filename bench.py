@@ -75,7 +75,7 @@ def run(sf_dir: str, master: str | None = None) -> dict:
         shm = "/dev/shm/g5_bench"
         shutil.rmtree(shm, ignore_errors=True)
         export_blocks_indexed(es, 32, shm, dvs)
-        roots = sample_roots_spec(deg, scale, 8)
+        roots = sample_roots_spec(deg, scale, 16)  # TEST_BFS_ROOTS, parameters.h:89
         _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m)  # warm
         _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m)
         # multi-source BATCH-AGGREGATE throughput (Σ traversed edges over
