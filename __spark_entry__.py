@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": gate.q_ngram_jaccard,
         "minhash_signatures": gate.q_minhash_signatures,
         "simhash_signatures": gate.q_simhash_signatures,
+        "simhash_pairs": gate.q_simhash_pairs,
         "cosine_topk": gate.q_cosine_topk,
         "events_hourly": gate.q_events_hourly,
         "sessionize": gate.q_sessionize,

@@ -606,3 +606,20 @@ WHERE ROUND(1e9 * i.i / (sa.sz + sb.sz - i.i)) >= 50000000"""
 ORACLES["kronecker_degree_hist"] = """
 SELECT CAST(deg AS BIGINT) AS deg, CAST(n_vertices AS BIGINT) AS n_vertices
 FROM (VALUES (1,515),(2,304),(3,244),(4,201),(5,181),(6,127),(7,102),(8,61),(9,59),(10,47),(11,47),(12,65),(13,83),(14,81),(15,98),(16,59),(17,76),(18,63),(19,41),(20,32),(21,27),(22,18),(23,14),(24,7),(25,3),(26,2),(27,2),(28,1),(31,1),(32,4),(34,3),(35,3),(36,5),(37,11),(38,9),(39,10),(40,12),(41,15),(42,28),(43,21),(44,20),(45,25),(46,36),(47,30),(48,25),(49,17),(50,33),(51,24),(52,21),(53,26),(54,15),(55,20),(56,13),(57,15),(58,14),(59,9),(60,5),(61,3),(62,3),(63,2),(64,4),(65,2),(66,2),(67,3),(68,1),(69,3),(71,1),(117,1),(122,1),(125,1),(126,1),(128,2),(129,1),(130,3),(131,1),(132,1),(133,1),(134,3),(135,2),(136,2),(137,4),(138,4),(139,3),(140,6),(141,5),(142,3),(143,6),(144,4),(145,3),(146,7),(147,7),(148,6),(149,3),(150,10),(151,13),(152,9),(153,10),(154,8),(155,6),(156,1),(157,6),(158,9),(159,3),(160,6),(161,4),(162,8),(163,5),(164,7),(165,1),(166,2),(167,4),(168,4),(169,4),(170,1),(171,2),(172,1),(174,1),(175,2),(176,2),(177,3),(178,2),(179,1),(181,1),(184,2),(185,1),(439,1),(441,1),(446,1),(449,2),(452,1),(454,1),(456,2),(458,1),(461,1),(466,1),(467,1),(469,1),(472,2),(473,1),(474,1),(475,1),(477,2),(478,1),(479,3),(481,3),(482,3),(483,1),(484,1),(485,2),(486,1),(487,1),(488,1),(489,1),(490,2),(492,2),(493,1),(495,1),(496,2),(498,1),(499,2),(500,1),(501,1),(502,3),(503,2),(504,1),(507,1),(509,1),(512,1),(514,1),(518,2),(521,1),(523,1),(1505,1),(1508,1),(1521,1),(1525,3),(1528,1),(1539,1),(1544,1),(1545,1),(1550,1),(1557,1),(4764,1)) AS t(deg, n_vertices)"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at the pigeonhole-exact setting (hamming ≤ 3
+    over 4 chunks ⇒ 100% recall), so the brute-force SQL oracle matches."""
+    from graph500_bfs_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_read(spark, sf_dir, "documents"), bits=32, max_hamming=3)
+
+
+ORACLES["simhash_pairs"] = f"""
+WITH sim AS ({_simhash_sql(32)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a, sim b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3"""

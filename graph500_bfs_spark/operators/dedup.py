@@ -210,8 +210,12 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 6) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
-    Candidate generation by banded 8-bit chunks (pigeonhole: distance ≤ 6
-    over 4 chunks ⇒ some chunk equal), then exact bit_count verify.
+    Candidate generation by banded 8-bit chunks, then exact bit_count
+    verify.  Pigeonhole guarantee: with C = bits/8 chunks, recall is 100%
+    for max_hamming ≤ C-1 (a pair with ≤ C-1 differing bits must leave
+    some chunk equal); above that it is an approximate-recall variant
+    (diffs can spread across all chunks).  The correctness gate runs at
+    max_hamming = 3 (= C-1 for 32 bits) against a brute-force SQL oracle.
     """
     sig = simhash_signatures(docs, bits).cache()
     chunks = bits // 8
