@@ -579,7 +579,7 @@ _LSH_BANDS = ",\n".join(
 
 ORACLES["minhash_lsh_pairs"] = f"""
 WITH {_SHINGLES2},
-sig AS ({_minhash_sql(8).split('WITH ' + _SHINGLES2.strip())[-1] if False else ''}
+sig AS (
   SELECT doc_id,
          {",".join("MIN(" + _H15.format(expr=f"'{i}:' || shingle") + f") AS h{i}" for i in range(8))}
   FROM shin GROUP BY doc_id),

@@ -46,9 +46,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-DEFAULT_ALPHA = 10.0  # /root/reference/mpi/parameters.h:96
-DEFAULT_BETA = 14.0  # /root/reference/mpi/parameters.h:97
-DEFAULT_EDGEFACTOR = 16  # /root/reference/mpi/parameters.h:93
+from graph500_bfs_spark.operators._direction import (
+    DEFAULT_ALPHA,
+    DEFAULT_BETA,
+    DEFAULT_EDGEFACTOR,
+    DirectionGuard,
+)
 
 
 from graph500_bfs_spark.operators._mem import CheckpointScope
@@ -147,8 +150,9 @@ def bfs(
     )
     pieces = [frontier]
     level = 0
-    direction = "top_down"
-    visited_edges = 0  # Σ deg(visited so far) — proxy for remaining work
+    # shared growing/shrinking direction state machine (operators/_direction.py,
+    # reference bfs.hpp:3413-3457) — ONE implementation for all four strategies
+    guard = DirectionGuard(n_total, m_total, alpha, beta)
     prev_frontier = None  # level-1 frontier — the exact anti-join set
     prev_nq = 0  # exact size of prev_frontier (driver counter, for broadcast gating)
     unvisited = None  # maintained incrementally while in bottom_up mode
@@ -178,45 +182,21 @@ def bfs(
                 .agg(F.coalesce(F.sum("deg"), F.lit(0)))
                 .collect()[0]
             )
-            visited_edges = int(row[0])
+            guard.visited_edges = int(row[0])
             fr = frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
             nq, nq_edges = int(fr[0]), int(fr[1])
             visited_total = int(state_df.count())
-            mrows = checkpointer.metrics(run_id)
-            direction = mrows[-1].get("direction", "top_down") if mrows else "top_down"
-
-    # growing/shrinking phase guard (/root/reference/mpi/bfs.hpp:3414-3429):
-    # T2B is only allowed while the frontier is still GROWING (nq > prev nq),
-    # B2T only once it is SHRINKING, and after the first B2T the growing flag
-    # is cleared permanently — this prevents direction flip-flop on plateau
-    # frontiers.  DELIBERATE DEVIATION from the reference formula: we compare
-    # nq_edges against REMAINING edges (m_total - visited_edges)/alpha rather
-    # than total m/alpha (reference bfs.hpp:3417-3418).  Remaining-edges is
-    # the quantity a bottom-up sweep actually scans in our incremental-
-    # unvisited design, so it tracks the real cost crossover; the guard above
-    # supplies the hysteresis the reference gets from its total-m constant.
-    growing = True
-    frontier_repr = "list"  # mirrored bitmap↔list decision, bfs.hpp:3441-3456
+            # rehydrate direction AND the one-way growing flag from the
+            # recorded superstep metrics — a resumed run that already took
+            # its single B2T switch must not re-enter bottom_up
+            guard.restore_from_metrics(checkpointer.metrics(run_id))
+            guard.prev_nq = prev_nq
 
     while level < max_levels and nq > 0:
-        visited_edges += nq_edges
-
-        if direction == "top_down":
-            if growing and nq > prev_nq and nq_edges > (m_total - visited_edges) / alpha:
-                direction = "bottom_up"
-                frontier_repr = "bitmap"  # bottom-up only with bitmap, bfs.hpp:3454-3457
-        else:
-            if (not growing or nq <= prev_nq) and nq < n_total / (
-                beta * DEFAULT_EDGEFACTOR * 2.0
-            ):
-                direction = "top_down"
-                growing = False  # one-way: never re-enter the growing phase
-                unvisited = None  # recomputed if bottom_up re-engages
-                # representation decision at B2T (bfs.hpp:3441-3448): keep the
-                # bitmap iff max per-partition nq ≥ bitmap_words*NBPE/(8*denom);
-                # with our 1D layout the per-partition bound is nq itself.
-                bitmap_slots = n_total / 2.0  # bitmap_bytes/sizeof(id)/denom, denom=2
-                frontier_repr = "bitmap" if nq >= bitmap_slots / 8.0 else "list"
+        prev_direction = guard.direction
+        direction = guard.step(nq, nq_edges)
+        if prev_direction == "bottom_up" and direction == "top_down":
+            unvisited = None  # recomputed if bottom_up re-engages
 
         ts = time.perf_counter()
         # carry the level THROUGH the join instead of stamping a literal:
@@ -316,7 +296,7 @@ def bfs(
             {
                 "superstep": level,
                 "direction": direction,
-                "frontier_repr": frontier_repr,
+                "frontier_repr": guard.frontier_repr,
                 "frontier_size": nq,
                 "frontier_edges": nq_edges,
                 "elapsed_s": elapsed,
@@ -337,7 +317,7 @@ def bfs(
 
     metrics.total_time_s = time.perf_counter() - t0
     # V6-style traversed-edge count: Σ deg(v) over visited / 2
-    metrics.traversed_edges = visited_edges // 2
+    metrics.traversed_edges = guard.visited_edges // 2
     if own_deg:
         deg.unpersist()
     if own_adj:

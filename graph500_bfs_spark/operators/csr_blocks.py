@@ -39,12 +39,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph500_bfs_spark.operators._mem import CheckpointScope
-from graph500_bfs_spark.operators.bfs import (
+from graph500_bfs_spark.operators._direction import (
     DEFAULT_ALPHA,
     DEFAULT_BETA,
-    DEFAULT_EDGEFACTOR,
-    BfsMetrics,
+    DirectionGuard,
 )
+from graph500_bfs_spark.operators.bfs import BfsMetrics
 
 BLOCK_SCHEMA = (
     "block int, srcs array<long>, indptr array<long>, dsts array<long>"
@@ -126,8 +126,8 @@ def bfs_blocks(
     visited = np.array([int(root)], dtype=np.int64)
     frontier = np.array([int(root)], dtype=np.int64)
     level = 0
-    direction = "top_down"
-    visited_edges = 0
+    # shared growing/shrinking direction guard (operators/_direction.py)
+    guard = DirectionGuard(n_vertices, m_edges, alpha, beta)
     root_deg = deg_map.filter(F.col("v") == root).collect()
     nq_edges = int(root_deg[0]["deg"]) if root_deg else 0
 
@@ -135,14 +135,8 @@ def bfs_blocks(
     pieces = [state_df.localCheckpoint(eager=True)]
 
     while level < max_levels and len(frontier) > 0:
-        visited_edges += nq_edges
         nq = len(frontier)
-        if direction == "top_down":
-            if nq_edges > (m_edges - visited_edges) / alpha:
-                direction = "bottom_up"
-        else:
-            if nq < n_vertices / (beta * DEFAULT_EDGEFACTOR * 2.0):
-                direction = "top_down"
+        direction = guard.step(nq, nq_edges)
 
         ts = time.perf_counter()
         bc_frontier = sc.broadcast(np.sort(frontier))
@@ -243,7 +237,7 @@ def bfs_blocks(
         level += 1
 
     metrics.total_time_s = time.perf_counter() - t0
-    metrics.traversed_edges = visited_edges // 2
+    metrics.traversed_edges = guard.visited_edges // 2
     from functools import reduce
 
     state = scope.finalize(reduce(DataFrame.unionByName, pieces))

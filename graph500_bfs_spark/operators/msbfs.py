@@ -34,12 +34,12 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graph500_bfs_spark.operators.bfs import (
+from graph500_bfs_spark.operators._direction import (
     DEFAULT_ALPHA,
     DEFAULT_BETA,
-    DEFAULT_EDGEFACTOR,
-    BfsMetrics,
+    DirectionGuard,
 )
+from graph500_bfs_spark.operators.bfs import BfsMetrics
 from graph500_bfs_spark.operators.csr_blocks import _gather_ranges, build_blocks
 
 
@@ -187,11 +187,9 @@ def bfs_multi(
                 raise ValueError(f"BFS root {root} is not a vertex of this graph")
             _bit_set(self.vbit, ridx)
             self.fidx = ridx  # frontier as dense indices into dvs
-            self.direction = "top_down"
+            # shared growing/shrinking state machine (operators/_direction.py)
+            self.guard = DirectionGuard(n_total, m_edges, alpha, beta)
             self.nq_edges = int(ddeg[pos])
-            self.visited_edges = 0
-            self.growing = True  # growing/shrinking guard, ref bfs.hpp:3414-3429
-            self.prev_nq = 0
             self.vis = [ridx]  # per-level dense indices
             self.parents = [np.array([root], dtype=np.int64)]
             self.levels = [0]
@@ -204,28 +202,10 @@ def bfs_multi(
 
     while any(not s.done for s in states) and step < max_levels:
         active = [s for s in states if not s.done]
-        # per-root direction decision (independent α/β state machines)
+        # per-root direction decision (independent α/β state machines,
+        # shared guard implementation — operators/_direction.py)
         for s in active:
-            s.visited_edges += s.nq_edges
-            # growing/shrinking guard (ref bfs.hpp:3414-3429): T2B only while
-            # the frontier still grows; B2T only once shrinking, and the
-            # growing phase is never re-entered — prevents direction
-            # flip-flop on plateau frontiers.
-            nq_now = len(s.fidx)
-            if s.direction == "top_down":
-                if (
-                    s.growing
-                    and nq_now > s.prev_nq
-                    and s.nq_edges > (m_edges - s.visited_edges) / alpha
-                ):
-                    s.direction = "bottom_up"
-            else:
-                if (not s.growing or nq_now <= s.prev_nq) and nq_now < n_total / (
-                    beta * DEFAULT_EDGEFACTOR * 2.0
-                ):
-                    s.direction = "top_down"
-                    s.growing = False
-            s.prev_nq = nq_now
+            s.guard.step(len(s.fidx), s.nq_edges)
 
         # ship ALL active roots' frontier+visited bitmaps as ONE mmap'd file:
         # slot a holds [fbit, vbit] of the a-th active root
@@ -234,7 +214,7 @@ def bfs_multi(
         for slot, s in enumerate(active):
             _bit_set(bits[slot, 0], s.fidx)
             bits[slot, 1] = s.vbit
-            manifest.append((s.rid, s.direction, slot))
+            manifest.append((s.rid, s.guard.direction, slot))
         bits_file = f"{blocks_path}/bits_s{step}.npy"
         np.save(bits_file, bits)
         t_ship = time.perf_counter()
@@ -305,16 +285,15 @@ def bfs_multi(
             rb = b.column(0).to_numpy(zero_copy_only=False)
             vb = b.column(1).to_numpy(zero_copy_only=False)
             pb = b.column(2).to_numpy(zero_copy_only=False)
-            if rb[0] == rb[-1]:
-                per_vi.setdefault(int(rb[0]), []).append(vb)
-                per_p.setdefault(int(rb[0]), []).append(pb)
-            else:
-                cuts = np.concatenate(
-                    [[0], np.flatnonzero(rb[1:] != rb[:-1]) + 1, [len(rb)]]
-                )
-                for a, z in zip(cuts[:-1], cuts[1:]):
-                    per_vi.setdefault(int(rb[a]), []).append(vb[a:z])
-                    per_p.setdefault(int(rb[a]), []).append(pb[a:z])
+            # change-point split handles EVERY arrangement of r within a
+            # batch (a batch shaped [A..,B..,A..] included); with no change
+            # points it degenerates to one slice, so no fast path is needed
+            cuts = np.concatenate(
+                [[0], np.flatnonzero(rb[1:] != rb[:-1]) + 1, [len(rb)]]
+            )
+            for a, z in zip(cuts[:-1], cuts[1:]):
+                per_vi.setdefault(int(rb[a]), []).append(vb[a:z])
+                per_p.setdefault(int(rb[a]), []).append(pb[a:z])
 
         # Per-root cross-block min-parent dedup: pack (vi, parent) into ONE
         # uint64 key and sort in place (np.sort releases the GIL → the pool
@@ -366,7 +345,7 @@ def bfs_multi(
         metrics.supersteps.append(
             {
                 "superstep": step,
-                "direction": "+".join(sorted({s.direction for s in active})),
+                "direction": "+".join(sorted({s.guard.direction for s in active})),
                 "frontier_size": int(sum(len(s.fidx) for s in active)),
                 "frontier_edges": int(sum(s.nq_edges for s in active)),
                 "elapsed_s": round(t_end - t_ship, 4),
@@ -378,7 +357,7 @@ def bfs_multi(
         step += 1
 
     metrics.total_time_s = time.perf_counter() - t0
-    metrics.traversed_edges = sum(s.visited_edges for s in states) // 2
+    metrics.traversed_edges = sum(s.guard.visited_edges for s in states) // 2
 
     results = {}
     for s in states:

@@ -8,7 +8,7 @@ parses a deterministic fake header, feature extraction digests payload
 bytes.  Swapping in PIL/ffmpeg is confined to the two marked functions.
 
 Header layout (fake, deterministic): magic 4B 'G5MM' | media_type 1B
-(0=image,1=audio,2=video) | width int16 | height int16 | duration_ms int32.
+(0=image,1=audio,2=video) | width int16 | height int16 | duration_ms uint32.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = "doc_id long, media_type string, payload binary"
 META_SCHEMA = (
-    "doc_id long, media_type string, width int, height int, duration_ms int, n_bytes long"
+    "doc_id long, media_type string, width int, height int, duration_ms long, n_bytes long"
 )
 FEATURE_DIM = 8
 FEATURE_SCHEMA = f"doc_id long, features array<float>"
@@ -89,7 +89,7 @@ def decode_metadata(media: DataFrame) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "width": w,
                     "height": h,
-                    "duration_ms": dur.astype(np.int32),
+                    "duration_ms": dur,  # int64: a uint32 header value must not wrap negative
                     "n_bytes": np.fromiter((len(p) for p in pays), np.int64, len(pays)),
                 }
             )

@@ -63,47 +63,82 @@ def fingerprint_md5(text: Column) -> Column:
     return F.conv(F.substring(F.md5(F.lower(F.trim(text))), 1, 15), 16, 10).cast("long")
 
 
+# padded-matrix element budget per Horner slice: 2^24 uint64 = 128 MB.
+# Without a bound, one long outlier document in a 65536-row Arrow batch
+# makes the (rows × maxlen) matrix demand rows*maxlen*8 bytes — tens of
+# GB — and OOMs the executor (round-2 ADVICE).  Slicing the batch by
+# length keeps every slice's matrix ≤ the budget while preserving the
+# O(total-bytes) total work of the vectorized sweep.
+_FP_CELL_BUDGET = 1 << 24
+
+
 @pandas_udf("long")
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """Polynomial rolling hash (base 257, mod p = 2^61-1) over UTF-8 bytes —
-    the classic Rabin-style document fingerprint.  Fully vectorized: one
-    np.frombuffer over the batch's concatenated bytes, scattered into a
-    LEFT-padded byte matrix (leading zeros keep Horner's state at 0, so the
-    padded hash equals the unpadded one), then a Horner sweep over byte
-    POSITIONS — each step is a whole-batch NumPy op, no per-row Python.
-    h*257 mod p is computed overflow-free in uint64 by splitting h into
-    32-bit halves and folding with 2^61 ≡ 1 (mod p).
-    Spark-only (no SQL twin); verified by pytest against a pure-Python
-    reference."""
+    the classic Rabin-style document fingerprint.  The batch is processed
+    in LENGTH-SORTED slices so each slice's padded matrix stays under
+    ``_FP_CELL_BUDGET`` elements (an outlier-length document lands in its
+    own small slice instead of inflating every row's padding — without the
+    bound, one long doc in a 65536-row batch demands rows×maxlen×8 bytes
+    and OOMs the executor).  Each slice: scatter into a LEFT-padded byte
+    matrix (leading zeros keep Horner's state at 0, so the padded hash
+    equals the unpadded one), then a Horner sweep over byte POSITIONS —
+    whole-slice NumPy ops, no per-row Python.  h*257 mod p is computed
+    overflow-free in uint64 by splitting h into 32-bit halves and folding
+    with 2^61 ≡ 1 (mod p).  The helper stays NESTED so the pickled UDF is
+    self-contained (a module-global function reference would make the
+    executor re-import this module, whose pandas_udf decorator needs a
+    live session).  Spark-only (no SQL twin); verified by pytest against a
+    pure-Python reference, including across slice boundaries."""
+
+    def horner_slice(byts: list, lens: np.ndarray) -> np.ndarray:
+        n = len(byts)
+        maxlen = int(lens.max())
+        flat = np.frombuffer(b"".join(byts), dtype=np.uint8).astype(np.uint64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = (
+            np.arange(len(flat))
+            - np.repeat(offsets[:-1], lens)
+            + np.repeat(maxlen - lens, lens)
+        )
+        buf = np.zeros((n, maxlen), dtype=np.uint64)
+        buf[row_idx, col_idx] = flat
+        P = np.uint64((1 << 61) - 1)
+        h = np.zeros(n, dtype=np.uint64)
+        u = np.uint64
+        for j in range(maxlen):
+            hi = h >> u(32)
+            lo = h & u(0xFFFFFFFF)
+            t = hi * u(257)  # < 2^37, no overflow
+            # t*2^32 mod p = ((t mod 2^29) << 32) + (t >> 29), both < 2^61
+            x = ((t & u(0x1FFFFFFF)) << u(32)) + (t >> u(29)) + lo * u(257) + buf[:, j]
+            x = (x & P) + (x >> u(61))
+            x = (x & P) + (x >> u(61))
+            h = np.where(x == P, u(0), x)
+        return h
+
     n = len(texts)
     byts = [(t or "").encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in byts), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
-    if maxlen == 0:
-        return pd.Series(np.zeros(n, dtype=np.int64))
-    flat = np.frombuffer(b"".join(byts), dtype=np.uint8).astype(np.uint64)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
-    row_idx = np.repeat(np.arange(n), lens)
-    col_idx = (
-        np.arange(len(flat))
-        - np.repeat(offsets[:-1], lens)
-        + np.repeat(maxlen - lens, lens)
-    )
-    buf = np.zeros((n, maxlen), dtype=np.uint64)
-    buf[row_idx, col_idx] = flat
-    P = np.uint64((1 << 61) - 1)
-    h = np.zeros(n, dtype=np.uint64)
-    u = np.uint64
-    for j in range(maxlen):
-        hi = h >> u(32)
-        lo = h & u(0xFFFFFFFF)
-        t = hi * u(257)  # < 2^37, no overflow
-        # t*2^32 mod p = ((t mod 2^29) << 32) + (t >> 29), both < 2^61
-        x = ((t & u(0x1FFFFFFF)) << u(32)) + (t >> u(29)) + lo * u(257) + buf[:, j]
-        x = (x & P) + (x >> u(61))
-        x = (x & P) + (x >> u(61))
-        h = np.where(x == P, u(0), x)
-    return pd.Series(h.astype(np.int64))
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty):
+        order = nonempty[np.argsort(lens[nonempty], kind="stable")]
+        start = 0
+        while start < len(order):
+            # greedy slice: rows are length-sorted, so the slice's maxlen is
+            # its LAST row's length; grow while rows*maxlen fits the budget
+            end = start + 1
+            while (
+                end < len(order)
+                and (end - start + 1) * int(lens[order[end]]) <= _FP_CELL_BUDGET
+            ):
+                end += 1
+            idx = order[start:end]
+            out[idx] = horner_slice([byts[i] for i in idx], lens[idx])
+            start = end
+    return pd.Series(out.astype(np.int64))
 
 
 def document_stats(docs: DataFrame) -> DataFrame:

@@ -415,7 +415,13 @@ def find_roots_exact(
         root = int((d[0] + d[1]) * n) % n
         counter += 2
         if counter > 2 * n:
-            break
+            # protocol degeneracy (near-edgeless graph): fail loudly instead
+            # of returning a short list that callers index unconditionally
+            raise ValueError(
+                f"root-sampling stream exhausted after {counter} draws: found "
+                f"{len(roots)}/{n_roots} roots with edges at scale {scale} — "
+                "the graph is too sparse for the Graph500 root protocol"
+            )
         if root in roots:
             continue
         if has_edge(root):

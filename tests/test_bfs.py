@@ -131,25 +131,93 @@ def test_harmonic_stddev_matches_norris_formula():
     assert abs(s["harmonic_stddev_TEPS"] - expect) < 1e-12
 
 
-def test_direction_phases_monotone_no_flipflop(spark):
-    """Growing/shrinking guard (ref bfs.hpp:3414-3429): once the engine
-    switches back to top-down, it must never re-enter bottom-up — the
-    per-superstep direction sequence matches td+ bu* td*."""
-    from graph500_bfs_spark.operators.bfs import bfs
-    from graph500_bfs_spark.operators.prep import symmetrize
+@pytest.mark.parametrize("strategy", ["join", "blocks", "shm", "msbfs"])
+def test_direction_phases_monotone_no_flipflop(spark, tmp_path, strategy):
+    """Growing/shrinking guard (ref bfs.hpp:3414-3429), now ONE shared
+    implementation (operators/_direction.py) used by all four physical
+    strategies: once the engine switches back to top-down it must never
+    re-enter bottom-up — the direction sequence matches td+ bu* td*."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
     from graph500_bfs_spark.sources.kronecker import kronecker_edges
 
-    es = symmetrize(kronecker_edges(spark, scale=13, edgefactor=16), dedup=False).cache()
-    root = int(es.selectExpr("min(src)").collect()[0][0])
-    _, met = bfs(es, root)
-    dirs = [m["direction"] for m in met.supersteps]
+    scale = 13 if strategy == "join" else 10
+    es = symmetrize(kronecker_edges(spark, scale=scale, edgefactor=16), dedup=False).cache()
+    deg = out_degrees(es).cache()
+    m = es.count()
+    root = int(deg.orderBy(F.desc("deg"), F.asc("v")).limit(1).collect()[0]["v"])
+
+    if strategy == "join":
+        _, met = bfs(es, root, degrees=deg, m_edges=m, n_vertices=deg.count())
+    elif strategy == "blocks":
+        from graph500_bfs_spark.operators.csr_blocks import bfs_blocks, build_blocks
+
+        blocks = build_blocks(es, num_blocks=4).cache()
+        _, met = bfs_blocks(blocks, root, n_vertices=deg.count(), m_edges=m, degrees=deg)
+    else:
+        dp = deg.orderBy("v").toPandas()
+        dvs = dp["v"].to_numpy(np.int64)
+        ddeg = dp["deg"].to_numpy(np.int64)
+        path = str(tmp_path / "blocks")
+        if strategy == "shm":
+            from graph500_bfs_spark.operators.csr_shm import bfs_shm, export_blocks
+
+            export_blocks(es, 4, path)
+            _, met = bfs_shm(spark, path, 4, root, (dvs, ddeg), m)
+        else:
+            from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+
+            export_blocks_indexed(es, 4, path, dvs)
+            _, met = bfs_multi(spark, path, 4, [root], (dvs, ddeg), m)
+
+    dirs = [s["direction"] for s in met.supersteps]
     # collapse runs: e.g. td td bu bu td td -> [td, bu, td]
     phases = [d for i, d in enumerate(dirs) if i == 0 or d != dirs[i - 1]]
     assert phases[0] == "top_down"
-    assert len(phases) <= 3, f"direction flip-flop: {dirs}"
-    # a scale-13 ef-16 R-MAT is dense enough that bottom-up engages
-    assert "bottom_up" in dirs, dirs
-    assert all("frontier_repr" in m for m in met.supersteps)
+    assert len(phases) <= 3, f"direction flip-flop ({strategy}): {dirs}"
+    # an ef-16 R-MAT from a hub root is dense enough that bottom-up engages
+    assert "bottom_up" in dirs, (strategy, dirs)
+    if strategy == "join":
+        assert all("frontier_repr" in s for s in met.supersteps)
+
+
+def test_direction_guard_plateau_no_flipflop():
+    """Unit test of the state machine on a plateau frontier sequence — the
+    exact pattern that flip-flopped the unguarded formulas."""
+    from graph500_bfs_spark.operators._direction import DirectionGuard
+
+    g = DirectionGuard(n_total=100_000, m_total=1_600_000)
+    seq = [(1, 2000), (500, 600_000), (5000, 900_000), (5000, 90_000), (100, 5000)]
+    dirs = [g.step(nq, nqe) for nq, nqe in seq]
+    phases = [d for i, d in enumerate(dirs) if i == 0 or d != dirs[i - 1]]
+    assert phases == ["top_down", "bottom_up", "top_down"]
+    # once back in top_down, growing is cleared permanently...
+    assert g.growing is False
+    # ...so a late plateau that re-satisfies the alpha test must NOT flip
+    after = [g.step(5000, 900_000) for _ in range(3)]
+    assert all(d == "top_down" for d in after), "re-entered bottom_up after B2T"
+
+
+def test_direction_guard_restore_from_metrics():
+    """Resume path (ADVICE r2): a resumed run that already took its B2T
+    switch must come back with growing=False so it cannot re-enter
+    bottom_up."""
+    from graph500_bfs_spark.operators._direction import DirectionGuard
+
+    g = DirectionGuard(n_total=1000, m_total=16000)
+    g.restore_from_metrics(
+        [
+            {"direction": "top_down"},
+            {"direction": "bottom_up"},
+            {"direction": "top_down", "frontier_repr": "list"},
+        ]
+    )
+    assert g.direction == "top_down"
+    assert g.growing is False
+    assert g.frontier_repr == "list"
+    # a growing, high-edge frontier must NOT flip back to bottom_up
+    assert g.step(500, 15000) == "top_down"
 
 
 def test_alpha_beta_telemetry_tuner(spark):

@@ -226,3 +226,19 @@ def test_sample_roots_spec_matches_scalar_protocol(spark):
     )
     got = sample_roots_spec(deg_df, scale, 8)
     assert got == want
+
+
+def test_root_sampling_exhaustion_raises(spark):
+    """ADVICE r2: a near-edgeless graph must fail loudly (protocol
+    degeneracy), not return a short root list that callers index."""
+    import pytest
+
+    from graph500_bfs_spark.operators.graph500 import sample_roots_spec
+    from graph500_bfs_spark.sources.mrg import find_roots_exact
+
+    with pytest.raises(ValueError, match="exhausted"):
+        find_roots_exact(4, 10, lambda v: False)
+
+    deg_df = spark.createDataFrame([(0, 0), (1, 0)], "v long, deg long")
+    with pytest.raises(ValueError, match="exhausted"):
+        sample_roots_spec(deg_df, 4, 10)
