@@ -43,7 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": gate.q_cosine_topk,
         "events_hourly": gate.q_events_hourly,
         "sessionize": gate.q_sessionize,
-        # round 2: all oracled except transcript_edges (rows-only)
+        # round 3: every entry below (and above) is oracled — zero rows-only
         "minhash_lsh_pairs": gate.q_minhash_lsh_pairs,
         "lsh_topk": gate.q_lsh_topk,
         "ivf_topk": gate.q_ivf_topk,

@@ -322,12 +322,28 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcript→edge derivation (S9): deterministic synthesized corpus."""
-    from graph500_bfs_spark.sources.edges import derive_edges
-    from graph500_bfs_spark.sources.transcripts import synthesize_transcripts
+    """Transcript→edge derivation (S9) with a FULL SQL oracle (round 3).
 
-    t = synthesize_transcripts(spark, n_convs=500, seed=42)
-    return derive_edges(t)
+    The transcripts table is constructed deterministically from the events
+    parquet in BOTH engines (conv = user, turn order = (ts, event_id),
+    role = event_type, tool on every third event), and entity ids use the
+    md5 hash mode — bit-identical in DuckDB — so the whole window-lag
+    derivation (adjacency + tool + participation edges) is hash-checked.
+    The xxhash64 production mode is the same plan with a different hash
+    expression (tested equivalent up to relabeling in pytest)."""
+    from pyspark.sql import Window
+
+    from graph500_bfs_spark.sources.edges import derive_edges
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("tool"),
+    )
+    return derive_edges(turns, entity_hash="md5")
 
 
 def q_kronecker_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,3 +639,36 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sim a, sim b
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+# Transcript→edge derivation oracle (round 3): the SQL twin of
+# q_transcript_edges — same deterministic turns table from events.parquet,
+# same md5-prefix entity hash, same window-lag adjacency + tool +
+# distinct-participation construction (sources/edges.py derive_edges).
+_ENT = "CAST(('0x' || substr(md5({k}), 1, 15)) AS BIGINT)"
+
+ORACLES["transcript_edges"] = f"""
+WITH turns AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS tool
+  FROM events),
+ent AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CASE WHEN tool IS NOT NULL THEN {_ENT.format(k="'tool:' || tool")}
+              ELSE {_ENT.format(k="'role:' || role")} END AS ent,
+         {_ENT.format(k="'conv:' || conv_id")} AS conv_ent
+  FROM turns),
+lagged AS (
+  SELECT *, LAG(ent) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ent
+  FROM ent)
+SELECT prev_ent AS src, ent AS dst, 'adjacency' AS kind
+FROM lagged WHERE prev_ent IS NOT NULL
+UNION ALL
+SELECT conv_ent AS src, {_ENT.format(k="'tool:' || tool")} AS dst, 'tool' AS kind
+FROM ent WHERE tool IS NOT NULL
+UNION ALL
+SELECT DISTINCT conv_ent AS src, {_ENT.format(k="'role:' || role")} AS dst,
+       'participation' AS kind
+FROM ent"""

@@ -178,6 +178,48 @@ def tree_levels(tree_parents: DataFrame, base_levels: DataFrame, max_hops: int =
     return out
 
 
+def reset_unreachable(
+    tree_parents: DataFrame, reached: DataFrame, max_hops: int = 40
+) -> DataFrame:
+    """C4 — EXPLICIT reachability propagation over the pruned forest
+    (reference /root/reference/external/indexed_bfs/bfs/corebfs/
+    postprocess.hpp:106-154: propagate reachability up the forest, then
+    null parents outside the reached component).
+
+    Round 2 relied on the implicit property that unreachable forest
+    vertices never splice (tree_levels only resolves vertices whose parent
+    chain lands in the reached set); this is the explicit pass: returns the
+    FULL forest parent table with ``parent = -1`` for every tree vertex NOT
+    reachable from ``reached(v)``.  Forest edges point toward the core and
+    chains are ≤ prune-iteration hops, so the fixpoint terminates in
+    ≤ max_hops rounds — and short-circuits as soon as a round resolves
+    nothing, so a disconnected forest costs O(its own depth), not
+    O(max_hops).
+    """
+    resolved = reached.select(F.col("v").alias("rv"))
+    pending = tree_parents.localCheckpoint(eager=True)
+    reached_rows = None
+    for _ in range(max_hops):
+        if pending.isEmpty():
+            break
+        hit = (
+            pending.join(resolved, pending["parent"] == F.col("rv"))
+            .select("v", "parent")
+            .localCheckpoint(eager=True)
+        )
+        if hit.isEmpty():
+            break  # nothing new resolved — the rest of the forest is unreachable
+        reached_rows = hit if reached_rows is None else reached_rows.unionByName(hit)
+        pending = pending.join(
+            hit.select(F.col("v").alias("hv")), pending["v"] == F.col("hv"), "left_anti"
+        ).localCheckpoint(eager=True)
+        resolved = hit.select(F.col("v").alias("rv"))
+    nulled = pending.select("v", F.lit(-1).cast("long").alias("parent"))
+    if reached_rows is None:
+        return nulled
+    return reached_rows.unionByName(nulled)
+
+
 def bfs_with_corebfs(
     edges_sym: DataFrame, root: int, dict_ascent_budget: int = 1_000_000, **bfs_kwargs
 ):

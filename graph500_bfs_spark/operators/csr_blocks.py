@@ -21,11 +21,15 @@ This module is its Spark restatement (SURVEY §4 decision 1):
   reference's O(1) bitmap probes (sorted-array membership = the hashed-id
   analog; a dense reorder map would recover true bitmaps).
 
-Scale notes: broadcasting a frontier of F vertices costs O(F) per
-superstep — the same asymptotic the reference pays for its frontier
-allgather.  Past the broadcast budget the DataFrame-join BFS
-(operators/bfs.py) is the fallback physical strategy; the two produce
-identical results (same deterministic min-parent contract).
+STATUS (round 3): REFERENCE-ONLY strategy, not benchmarked.  A Spark
+python broadcast is unpickled into a PRIVATE copy per worker process (N
+copies + N disk reads per level) and the per-level ``toPandas`` frontier
+collect adds a fixed driver round-trip — the exact costs the mmap'd-file
+shipping of csr_shm.py/msbfs.py removes (PLANS.md item 8 measured
+5-7 s/superstep for the broadcast path).  The module stays for (a) the
+``build_blocks`` distributed CSR construction kernel every other strategy
+reuses and (b) the strategy-equivalence tests; use bfs_shm/bfs_multi for
+performance, operators/bfs.py beyond driver memory.
 """
 
 from __future__ import annotations

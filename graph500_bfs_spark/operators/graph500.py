@@ -416,3 +416,84 @@ def tune_alpha_beta_telemetry(
                 break  # regress → keep previous best (reference restore)
 
     return {"alpha": alpha, "beta": beta, "harmonic_mean_TEPS": best_hm, "trail": trail}
+
+
+def run_timed_roots(
+    spark,
+    blocks_path: str,
+    nblocks: int,
+    roots: list[int],
+    degrees_np,
+    m_edges: int,
+    log=None,
+    interrupt_after: int | None = None,
+) -> list[float]:
+    """The timed per-root protocol loop with per-root RESUME.
+
+    ``log`` is a :class:`graph500_bfs_spark.plans.checkpoint.ProtocolLog`;
+    roots already recorded there are skipped and their measured times
+    reused — the reference LOGFILE mid-protocol resume
+    (/root/reference/mpi/main.cc:404-405, logfile.h:141-150).
+    ``interrupt_after`` simulates a kill before root k (test hook).
+    Returns the per-root wall times in protocol order.
+    """
+    import time as _time
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi
+
+    times = [0.0] * len(roots)
+    for i, r in enumerate(roots):
+        if log is not None and log.has(i):
+            times[i] = log.time_s(i)
+            continue
+        if interrupt_after is not None and i >= interrupt_after:
+            raise KeyboardInterrupt(f"simulated kill before root {i}")
+        t0 = _time.perf_counter()
+        _, met = bfs_multi(spark, blocks_path, nblocks, [r], degrees_np, m_edges)
+        dt = _time.perf_counter() - t0
+        if log is not None:
+            log.record(i, r, dt, traversed_edges=int(met.traversed_edges))
+        times[i] = dt
+    return times
+
+
+def search_root_seed(
+    spark,
+    blocks_path: str,
+    nblocks: int,
+    degrees: DataFrame,
+    degrees_np,
+    m_edges: int,
+    scale: int,
+    n_roots: int,
+    num_trials: int = 100,
+) -> dict:
+    """B11 ``-S`` root-seed search (/root/reference/mpi/main.cc:492-509).
+
+    Trial i derives its root seed from the SAME deterministic double
+    stream as the reference: seed 0 for trial 0, else
+    ``int(rnd_i * 2^24)`` with ``rnd_i = make_random_numbers(1, USERSEED1,
+    USERSEED2, i)``.  Each trial samples its root set at (r1=r2=seed) via
+    the exact find_roots protocol and measures multi-source batch TEPS
+    over those roots; the best seed wins (the reference measures its
+    auto_tuning harness TEPS — same selection semantics, our measurement
+    kernel).  Returns {"best_seed", "best_TEPS", "trials": [...]}.
+    """
+    from graph500_bfs_spark.operators.msbfs import bfs_multi
+    from graph500_bfs_spark.sources.mrg import USERSEED1, USERSEED2, make_random_numbers
+
+    best_seed, best_teps = 0, -1.0
+    trials = []
+    for i in range(num_trials):
+        rndd = 0.0 if i == 0 else float(make_random_numbers(1, USERSEED1, USERSEED2, i)[0])
+        seed = int(rndd * (1 << 24))
+        try:
+            roots = sample_roots_spec(degrees, scale, n_roots, r1=seed, r2=seed)
+        except ValueError:
+            continue  # degenerate seed (stream exhausted) — skip the trial
+        _, met = bfs_multi(spark, blocks_path, nblocks, roots, degrees_np, m_edges)
+        teps = met.teps()
+        trials.append({"trial": i, "seed": seed, "TEPS": teps})
+        if teps > best_teps:
+            best_seed, best_teps = seed, teps
+    return {"best_seed": best_seed, "best_TEPS": best_teps, "trials": trials}

@@ -154,6 +154,7 @@ def bfs_multi(
     alpha: float = DEFAULT_ALPHA,
     beta: float = DEFAULT_BETA,
     max_levels: int = 1000,
+    ship: str = "dir",
 ) -> tuple[dict[int, DataFrame], BfsMetrics]:
     """Run BFS from every root concurrently; returns ({root: state}, metrics).
 
@@ -166,12 +167,43 @@ def bfs_multi(
     min-parent dedup is ONE lexsort over the whole Arrow batch (not R
     pandas scans), and the collect is Arrow-native (toArrow, no pandas
     conversion).
+
+    ``ship`` selects the CSR-block + per-step-bitmap distribution channel:
+
+    * ``"dir"`` — workers open ``blocks_path`` directly.  Fastest on one
+      host (every worker mmaps the same /dev/shm pages) but on a real
+      cluster it requires ``blocks_path`` to be a shared filesystem.
+    * ``"spark"`` — CLUSTER-REAL with NO shared-FS assumption: the driver
+      registers every file with ``sc.addFile`` and workers resolve it via
+      ``SparkFiles.get``.  Spark's file server ships each file ONCE per
+      executor host (fetched at first task, cached in the executor's
+      files dir for the rest of the job/application), after which all
+      worker processes on that host mmap the same local copy — the same
+      one-copy-per-host property as the shared dir, delivered by Spark's
+      own transport (the analog of the reference's per-rank CSR +
+      allgathered bitmaps, mpi/bfs.hpp:680-696).  Per-step bitmap files
+      get a unique run tag (re-adding a changed file under the same name
+      is an error in Spark); executor-side copies are reclaimed at
+      application exit.
     """
     dvs, ddeg = degrees_np
     n_total = len(dvs)
     nbytes = (n_total + 7) // 8
     metrics = BfsMetrics()
     t0 = time.perf_counter()
+    if ship not in ("dir", "spark"):
+        raise ValueError(f"unknown ship mode {ship!r}")
+    run_tag = ""
+    if ship == "spark":
+        import uuid
+
+        sc = spark.sparkContext
+        run_tag = uuid.uuid4().hex[:8]
+        for fn in sorted(os.listdir(blocks_path)):
+            if fn.endswith(".npy"):
+                # idempotent for unchanged files (re-registration of the
+                # same path is a warning, not an error)
+                sc.addFile(os.path.join(blocks_path, fn))
     out_schema = pa.schema(
         [pa.field("r", pa.int32()), pa.field("vi", pa.int64()), pa.field("parent", pa.int64())]
     )
@@ -215,24 +247,35 @@ def bfs_multi(
             _bit_set(bits[slot, 0], s.fidx)
             bits[slot, 1] = s.vbit
             manifest.append((s.rid, s.guard.direction, slot))
-        bits_file = f"{blocks_path}/bits_s{step}.npy"
+        bits_name = f"bits_{run_tag}_s{step}.npy" if ship == "spark" else f"bits_s{step}.npy"
+        bits_file = f"{blocks_path}/{bits_name}"
         np.save(bits_file, bits)
+        if ship == "spark":
+            spark.sparkContext.addFile(bits_file)
         t_ship = time.perf_counter()
 
-        def probe(batches, _m=tuple(manifest), _p=blocks_path, _bf=bits_file):
-            allbits = np.load(_bf, mmap_mode="r")
+        def probe(batches, _m=tuple(manifest), _p=blocks_path, _bf=bits_file, _ship=ship):
+            if _ship == "spark":
+                from pyspark import SparkFiles
+
+                def rp(path):  # resolve through the executor's fetched copy
+                    return SparkFiles.get(os.path.basename(path))
+            else:
+                def rp(path):
+                    return path
+            allbits = np.load(rp(_bf), mmap_mode="r")
             for batch in batches:
                 for bid in batch.column(0).to_numpy(zero_copy_only=False):
                     b = int(bid)
                     # a hash-empty block writes no files (build_blocks only
                     # emits rows for non-empty partitions) — skip, don't crash
-                    if not os.path.exists(f"{_p}/b{b}_srcs.npy"):
+                    if not os.path.exists(rp(f"{_p}/b{b}_srcs.npy")):
                         continue
-                    srcs = np.load(f"{_p}/b{b}_srcs.npy", mmap_mode="r")
-                    indptr = np.asarray(np.load(f"{_p}/b{b}_indptr.npy", mmap_mode="r"))
-                    dsts = np.load(f"{_p}/b{b}_dsts.npy", mmap_mode="r")
-                    srcidx = np.asarray(np.load(f"{_p}/b{b}_srcidx.npy", mmap_mode="r"))
-                    dstidx = np.load(f"{_p}/b{b}_dstidx.npy", mmap_mode="r")
+                    srcs = np.load(rp(f"{_p}/b{b}_srcs.npy"), mmap_mode="r")
+                    indptr = np.asarray(np.load(rp(f"{_p}/b{b}_indptr.npy"), mmap_mode="r"))
+                    dsts = np.load(rp(f"{_p}/b{b}_dsts.npy"), mmap_mode="r")
+                    srcidx = np.asarray(np.load(rp(f"{_p}/b{b}_srcidx.npy"), mmap_mode="r"))
+                    dstidx = np.load(rp(f"{_p}/b{b}_dstidx.npy"), mmap_mode="r")
                     srcs_a = np.asarray(srcs)
                     for rid, d, slot in _m:
                         fbit = allbits[slot, 0]

@@ -78,3 +78,51 @@ class CheckpointManager:
         for p in os.listdir(d):
             if p.startswith("superstep=") and int(p.split("=")[1]) > superstep:
                 shutil.rmtree(os.path.join(d, p))
+
+
+class ProtocolLog:
+    """Per-ROOT resume log for the Graph500 timed protocol — the reference
+    LOGFILE analog (/root/reference/mpi/logfile.h:141-150; skip-completed
+    logic /root/reference/mpi/main.cc:404-405,
+    /root/reference/mpi/benchmark_helper.hpp:584-649).
+
+    One JSON line per completed root: a killed 64-root run restarted with
+    the same log path skips the roots already recorded and reuses their
+    measured times, resuming mid-protocol with identical TEPS stats.  A
+    header line pins (scale, roots, cores); any mismatch invalidates the
+    log (the reference stores the same guard fields in its binary header).
+    """
+
+    def __init__(self, path: str, header: dict):
+        self.path = path
+        self.header = dict(header)
+        self.completed: dict[int, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                lines = [json.loads(ln) for ln in f if ln.strip()]
+            if lines and lines[0].get("kind") == "header" and all(
+                lines[0].get(k) == v for k, v in self.header.items()
+            ):
+                for row in lines[1:]:
+                    if row.get("kind") == "root":
+                        self.completed[int(row["i"])] = row
+            else:
+                os.unlink(path)  # stale header → restart from scratch
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(json.dumps({"kind": "header", **self.header}) + "\n")
+
+    def has(self, i: int) -> bool:
+        return i in self.completed
+
+    def time_s(self, i: int) -> float:
+        return float(self.completed[i]["time_s"])
+
+    def record(self, i: int, root: int, time_s: float, **extra) -> None:
+        row = {"kind": "root", "i": int(i), "root": int(root),
+               "time_s": float(time_s), **extra}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self.completed[int(i)] = row

@@ -11,10 +11,18 @@ Vertices are **conv / tool / role entities** (north rule).  Edges:
 * ``participation`` — conversation entity ↔ role entity (connects each
   conversation into the global graph).
 
-Entity ids are ``xxhash64`` of a typed key (``conv:…``, ``role:…``,
-``tool:…``) — closed-form relabeling in the same spirit as the reference's
-scramble permutation (/root/reference/generator/graph_generator.hpp:623-637):
-no permutation table, no shuffle, collision probability ~n²/2⁶⁴.
+Entity ids are a hash of a typed key (``conv:…``, ``role:…``, ``tool:…``)
+— closed-form relabeling in the same spirit as the reference's scramble
+permutation (/root/reference/generator/graph_generator.hpp:623-637): no
+permutation table, no shuffle, collision probability ~n²/2^bits.  Two hash
+modes:
+
+* ``xxhash64`` (default) — JVM-native, fastest, production path;
+* ``md5`` — first 15 hex digits of md5 as int64, bit-identical in DuckDB
+  (``CAST(('0x' || substr(md5(k),1,15)) AS BIGINT)``), so the correctness
+  gate can run the WHOLE window-lag derivation against a SQL oracle
+  (round-2 VERDICT: transcript_edges was the last no-oracle entry solely
+  because xxhash64 has no DuckDB twin).
 
 Role/tool vertices are deliberate *hubs* (degree ≈ n_convs) — the skew the
 reference spends its 2D-partitioning + large-row machinery on
@@ -30,16 +38,25 @@ from pyspark.sql import functions as F
 EDGE_SCHEMA = "src long, dst long, kind string"
 
 
-def _entity(kind_col, name_col):
-    return F.xxhash64(F.concat(kind_col, F.lit(":"), name_col))
+def _entity(kind_col, name_col, entity_hash: str = "xxhash64"):
+    key = F.concat(kind_col, F.lit(":"), name_col)
+    if entity_hash == "xxhash64":
+        return F.xxhash64(key)
+    if entity_hash == "md5":
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown entity_hash {entity_hash!r}")
 
 
-def derive_edges(transcripts: DataFrame) -> DataFrame:
+def derive_edges(transcripts: DataFrame, entity_hash: str = "xxhash64") -> DataFrame:
     """edges(src, dst, kind) — directed as derived; symmetrize separately."""
     t = transcripts
+
+    def ent(kind_col, name_col):
+        return _entity(kind_col, name_col, entity_hash)
+
     turn_entity = F.when(
-        t["tool"].isNotNull(), _entity(F.lit("tool"), t["tool"])
-    ).otherwise(_entity(F.lit("role"), t["role"]))
+        t["tool"].isNotNull(), ent(F.lit("tool"), t["tool"])
+    ).otherwise(ent(F.lit("role"), t["role"]))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     with_ent = t.select(
         "conv_id",
@@ -47,7 +64,7 @@ def derive_edges(transcripts: DataFrame) -> DataFrame:
         "role",
         "tool",
         turn_entity.alias("ent"),
-        _entity(F.lit("conv"), t["conv_id"]).alias("conv_ent"),
+        ent(F.lit("conv"), t["conv_id"]).alias("conv_ent"),
     ).withColumn("prev_ent", F.lag("ent").over(w))
 
     adjacency = (
@@ -59,14 +76,14 @@ def derive_edges(transcripts: DataFrame) -> DataFrame:
         with_ent.filter(F.col("tool").isNotNull())
         .select(
             F.col("conv_ent").alias("src"),
-            _entity(F.lit("tool"), F.col("tool")).alias("dst"),
+            ent(F.lit("tool"), F.col("tool")).alias("dst"),
         )
         .withColumn("kind", F.lit("tool"))
     )
     participation = (
         with_ent.select(
             F.col("conv_ent").alias("src"),
-            _entity(F.lit("role"), F.col("role")).alias("dst"),
+            ent(F.lit("role"), F.col("role")).alias("dst"),
         )
         .distinct()
         .withColumn("kind", F.lit("participation"))

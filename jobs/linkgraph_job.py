@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("algo", choices=[
-        "derive-edges", "bfs", "corebfs", "pagerank", "cc", "lpa",
+        "derive-edges", "bfs", "msbfs", "corebfs", "pagerank", "cc", "lpa",
         "triangles", "graph500",
     ])
     p.add_argument("--transcripts", help="transcript table path (input_hint schema)")
@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--validation-level", type=int, choices=(0, 1, 2), default=None,
                    help="Graph500 -v: 0 pf_nedge table, 1 first-root, 2 every root")
+    p.add_argument("--ship", choices=("dir", "spark"), default="spark",
+                   help="msbfs CSR/bitmap channel: 'spark' = sc.addFile/SparkFiles "
+                        "(cluster-real, no shared FS); 'dir' = shared directory")
+    p.add_argument("--blocks-dir", default="/tmp/g5_blocks",
+                   help="msbfs CSR staging dir (driver-local under --ship spark)")
     args = p.parse_args(argv)
 
     from graph500_bfs_spark.plans.checkpoint import CheckpointManager
@@ -90,6 +95,37 @@ def main(argv=None):
             spark, args.scale, args.edgefactor, args.roots,
             validation_level=args.validation_level,
         ))
+    elif args.algo == "msbfs":
+        # multi-source batch over the protocol roots, CSR + bitmaps shipped
+        # through the channel picked by --ship (default: Spark file server —
+        # cluster-real, no shared-filesystem assumption)
+        import shutil
+
+        import numpy as np
+
+        from graph500_bfs_spark.operators.graph500 import sample_roots
+        from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+
+        es = symmetrize(load_edges(), dedup=False).cache()
+        m = es.count()
+        deg = out_degrees(es).cache()
+        dp = deg.orderBy("v").toPandas()
+        dvs = dp["v"].to_numpy(np.int64)
+        ddeg = dp["deg"].to_numpy(np.int64)
+        shutil.rmtree(args.blocks_dir, ignore_errors=True)
+        nblocks = max(spark.sparkContext.defaultParallelism, 16)
+        export_blocks_indexed(es, nblocks, args.blocks_dir, dvs)
+        roots = sample_roots(deg, args.roots, max_vertex=1 << args.scale)
+        res, met = bfs_multi(spark, args.blocks_dir, nblocks, roots,
+                             (dvs, ddeg), m, ship=args.ship)
+        for r, state in res.items():
+            wh.write(f"msbfs_root_{r}", state)
+        result.update({
+            "roots": [int(r) for r in roots], "ship": args.ship,
+            "batch_aggregate_teps": met.teps(),
+            "traversed_edges": met.traversed_edges,
+            "supersteps": len(met.supersteps),
+        })
     else:
         es = symmetrize(load_edges()).cache()
         if args.algo in ("bfs", "corebfs"):

@@ -29,9 +29,11 @@ sys.path.insert(0, str(REPO))
 from graph500_bfs_spark.operators.graph500 import (  # noqa: E402
     NUM_BFS_ROOTS,
     PF_NEDGE,
+    run_timed_roots,
     sample_roots_spec,
     teps_stats,
 )
+from graph500_bfs_spark.plans.checkpoint import ProtocolLog  # noqa: E402
 from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed  # noqa: E402
 from graph500_bfs_spark.operators.prep import out_degrees, symmetrize  # noqa: E402
 from graph500_bfs_spark.session import get_spark  # noqa: E402
@@ -88,14 +90,17 @@ def main():
           f"= {checksum} vs pf_nedge[{scale}]={expected} "
           f"match={checksum == expected}")
 
-    # timed per-root runs (warm after root0); TEPS = pf_nedge/t per spec
-    times = []
-    for i, r in enumerate(roots):
-        t0 = time.perf_counter()
-        _, met = bfs_multi(spark, path, nblocks, [r], (dvs, ddeg), m_dir)
-        times.append(time.perf_counter() - t0)
-        if (i + 1) % 16 == 0:
-            print(f"  {i + 1}/{len(roots)} roots done")
+    # timed per-root runs (warm after root0); TEPS = pf_nedge/t per spec.
+    # Per-root resume (reference LOGFILE, mpi/main.cc:404-405): a killed run
+    # restarted with the same scale/roots skips completed roots via the log.
+    log = ProtocolLog(
+        str(REPO / "BENCH" / f"protocol{n_roots}_s{scale}.log.jsonl"),
+        {"scale": scale, "n_roots": n_roots, "roots": [int(r) for r in roots]},
+    )
+    done_before = len(log.completed)
+    if done_before:
+        print(f"resuming: {done_before}/{len(roots)} roots already recorded")
+    times = run_timed_roots(spark, path, nblocks, roots, (dvs, ddeg), m_dir, log=log)
     edge_count = checksum if expected is None else expected
     stats = teps_stats([edge_count] * len(roots), times)
 

@@ -8,6 +8,10 @@ the in-sandbox stand-in for N vs 4N executors (the real cluster path is
 
 Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode]
   mode: join (DataFrame BFS, default) | shm (shared-memory CSR BFS)
+        | ms (multi-source batch, shared-dir shipping)
+        | msspark (multi-source batch, sc.addFile/SparkFiles shipping —
+          the CLUSTER-REAL channel with no shared-FS assumption; the
+          staging dir is driver-local only)
 
 Mirrors the reference's run-benchmark.py orchestration role
 (/root/reference/run-benchmark.py:104-200).
@@ -58,18 +62,23 @@ deg = out_degrees(es).cache()
 n_total = deg.count()
 
 times, nedges = [], []
-if mode == "ms":
+if mode in ("ms", "msspark"):
     from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
 
+    ship = "spark" if mode == "msspark" else "dir"
     dp = deg.orderBy("v").toPandas()
     dvs = dp["v"].to_numpy(np.int64); ddeg = dp["deg"].to_numpy(np.int64)
-    path = f"/dev/shm/g5_ms_scaling_{{scale}}_{{cores}}"
+    # msspark: DRIVER-LOCAL staging only — workers get every file through
+    # sc.addFile/SparkFiles (one fetch per executor host), so nothing here
+    # assumes a shared filesystem
+    base_dir = "/tmp" if ship == "spark" else "/dev/shm"
+    path = f"{{base_dir}}/g5_{{mode}}_scaling_{{scale}}_{{cores}}"
     shutil.rmtree(path, ignore_errors=True)
     nblocks = max(cores * 2, 16)
     export_blocks_indexed(es, nblocks, path, dvs)
     roots = sample_roots(deg, n_roots, max_vertex=1 << scale)
-    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)  # warm
-    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)
+    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir, ship=ship)  # warm
+    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir, ship=ship)
     shutil.rmtree(path, ignore_errors=True)
     print("RESULT " + json.dumps({{
         "cores": cores, "scale": scale, "n_roots": n_roots, "mode": mode,

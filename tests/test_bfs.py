@@ -242,3 +242,40 @@ def test_alpha_beta_telemetry_tuner(spark):
     assert out["alpha"] > 0 and out["beta"] > 0
     assert len(out["trail"]) >= 1
     assert out["harmonic_mean_TEPS"] >= out["trail"][0]["harmonic_mean_TEPS"]
+
+
+def test_search_root_seed_protocol(spark, tmp_path):
+    """B11 -S root-seed search (ref main.cc:492-509): trial seeds come from
+    the deterministic double stream (trial 0 = seed 0), every trial's root
+    set follows the find_roots protocol at (r1=r2=seed), and the best
+    seed's TEPS is the max over trials."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.graph500 import sample_roots_spec, search_root_seed
+    from graph500_bfs_spark.operators.msbfs import export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+    from graph500_bfs_spark.sources.mrg import USERSEED1, USERSEED2, make_random_numbers
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+
+    out = search_root_seed(spark, path, 4, deg, (dvs, ddeg), m, scale=9, n_roots=2,
+                           num_trials=3)
+    assert len(out["trials"]) == 3
+    assert out["trials"][0]["seed"] == 0  # trial 0 is the unseeded protocol
+    # trial seeds reproduce the reference stream exactly
+    for t in out["trials"][1:]:
+        want = int(float(make_random_numbers(1, USERSEED1, USERSEED2, t["trial"])[0]) * (1 << 24))
+        assert t["seed"] == want
+    assert out["best_TEPS"] == max(t["TEPS"] for t in out["trials"])
+    # different seeds genuinely shift the sampled root sets
+    r0 = sample_roots_spec(deg, 9, 2, r1=out["trials"][0]["seed"], r2=out["trials"][0]["seed"])
+    r1 = sample_roots_spec(deg, 9, 2, r1=out["trials"][1]["seed"], r2=out["trials"][1]["seed"])
+    assert r0 != r1

@@ -74,3 +74,48 @@ def test_pagerank_kill_and_resume_identical(spark, tmp_path):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_protocol_per_root_kill_and_resume(spark, tmp_path):
+    """Reference LOGFILE resume (mpi/main.cc:404-405): kill the timed
+    protocol after 2 of 4 roots, restart with the same log, and get TEPS
+    stats identical to an uninterrupted run (recorded times are reused
+    verbatim; only the remaining roots re-run)."""
+    import numpy as np
+    import pytest
+
+    from graph500_bfs_spark.operators.graph500 import run_timed_roots, sample_roots_spec
+    from graph500_bfs_spark.operators.msbfs import export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+    from graph500_bfs_spark.plans.checkpoint import ProtocolLog
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+    roots = sample_roots_spec(deg, 9, 4)
+    header = {"scale": 9, "n_roots": 4, "roots": [int(r) for r in roots]}
+    logf = str(tmp_path / "proto.log.jsonl")
+
+    log1 = ProtocolLog(logf, header)
+    with pytest.raises(KeyboardInterrupt):
+        run_timed_roots(spark, path, 4, roots, (dvs, ddeg), m, log=log1, interrupt_after=2)
+    assert sorted(log1.completed) == [0, 1]
+    t0, t1 = log1.time_s(0), log1.time_s(1)
+
+    # restart: a fresh ProtocolLog on the same file must skip roots 0-1
+    log2 = ProtocolLog(logf, header)
+    assert sorted(log2.completed) == [0, 1]
+    times = run_timed_roots(spark, path, 4, roots, (dvs, ddeg), m, log=log2)
+    assert len(times) == 4 and all(t > 0 for t in times)
+    assert times[0] == t0 and times[1] == t1  # recorded times reused verbatim
+    assert sorted(log2.completed) == [0, 1, 2, 3]
+
+    # a header mismatch (different protocol) must invalidate the log
+    log3 = ProtocolLog(logf, {**header, "scale": 10})
+    assert log3.completed == {}

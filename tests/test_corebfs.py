@@ -111,3 +111,41 @@ def test_validation_levels_protocol(spark):
     assert 0 <= PF_NEDGE[10] - r1["traversed_edges"][0] <= n_loops
     # level 2 measures per root; roots in the same component agree
     assert all(t > 0 for t in r2["traversed_edges"])
+
+
+def test_reset_unreachable_explicit_c4(spark):
+    """Explicit C4 (reference postprocess.hpp:106-154): reachability
+    propagates up the forest from the reached core set; forest vertices in
+    a DISCONNECTED component get parent = -1, and the fixpoint
+    short-circuits (rounds ≈ reachable-forest depth, not max_hops)."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.components import prune_trees, reset_unreachable
+
+    # component A: triangle 0-1-2 with a 2-hop tail 2-3-4
+    # component B: disconnected path 10-11-12 (pure forest, no core)
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (10, 11), (11, 12)]
+    es = edges_df(spark, pairs)
+    core_edges, tree_parents = prune_trees(es)
+    # reached set = component A's core (what a BFS from 0 reaches in-core)
+    reached = spark.createDataFrame([(0,), (1,), (2,)], "v long")
+    out = {r["v"]: r["parent"] for r in reset_unreachable(tree_parents, reached).collect()}
+    tree_vs = {r["v"] for r in tree_parents.collect()}
+    assert set(out) == tree_vs  # full forest covered, reachable AND not
+    # component-A tail keeps its parents; component B is nulled
+    assert out[3] == 2 and out[4] == 3
+    for v in tree_vs & {10, 11, 12}:
+        assert out[v] == -1, f"vertex {v} should be unreachable"
+
+
+def test_corebfs_disconnected_forest_short_circuits(spark):
+    """C2 ascent + C4 from a root inside a pure-forest component: the BFS
+    must cover exactly that component and never splice the other one."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (10, 11), (11, 12)]
+    es = edges_df(spark, pairs)
+    state, _ = bfs_with_corebfs(es, 10)
+    got = {r["v"]: r["level"] for r in state.collect()}
+    assert got == oracles.bfs_levels(pairs, 10)
+    assert set(got) == {10, 11, 12}
+    res = complete_result(state, vertex_ids(es))
+    assert_valid_bfs(res, es, 10)

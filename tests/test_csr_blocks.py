@@ -112,3 +112,32 @@ def test_msbfs_matches_join_bfs_all_roots(spark, tmp_path):
         a = {(r["v"], r["parent"], r["level"]) for r in results[root].collect()}
         b = {(r["v"], r["parent"], r["level"]) for r in st_j.collect()}
         assert a == b, f"root {root} mismatch"
+
+
+def test_msbfs_spark_ship_matches_dir_ship(spark, tmp_path):
+    """ship='spark' (sc.addFile + SparkFiles — the cluster-real channel
+    with no shared-FS assumption) must produce bit-identical BFS states to
+    ship='dir' (shared-directory mmap)."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg"), F.asc("v")).limit(3).collect()]
+
+    res_dir, met_dir = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m, ship="dir")
+    res_sp, met_sp = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m, ship="spark")
+    assert met_dir.traversed_edges == met_sp.traversed_edges
+    for r in roots:
+        a = {(x["v"], x["parent"], x["level"]) for x in res_dir[r].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res_sp[r].collect()}
+        assert a == b, f"ship modes diverge for root {r}"

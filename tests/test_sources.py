@@ -242,3 +242,24 @@ def test_root_sampling_exhaustion_raises(spark):
     deg_df = spark.createDataFrame([(0, 0), (1, 0)], "v long, deg long")
     with pytest.raises(ValueError, match="exhausted"):
         sample_roots_spec(deg_df, 4, 10)
+
+
+def test_derive_edges_hash_modes_isomorphic(spark):
+    """The md5 entity mode (gate/oracle path) and the xxhash64 production
+    mode must produce the SAME graph up to vertex relabeling: identical
+    per-kind edge counts and identical degree multisets."""
+    from collections import Counter
+
+    t = synthesize_transcripts(spark, n_convs=40, seed=42).cache()
+    a = derive_edges(t, entity_hash="xxhash64").collect()
+    b = derive_edges(t, entity_hash="md5").collect()
+    assert Counter(r["kind"] for r in a) == Counter(r["kind"] for r in b)
+
+    def deg_multiset(rows):
+        c = Counter()
+        for r in rows:
+            c[r["src"]] += 1
+            c[r["dst"]] += 1
+        return sorted(c.values())
+
+    assert deg_multiset(a) == deg_multiset(b)
