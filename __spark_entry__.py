@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": gate.q_minhash_lsh_pairs,
         "lsh_topk": gate.q_lsh_topk,
         "ivf_topk": gate.q_ivf_topk,
+        "kmeans_ivf_topk": gate.q_kmeans_ivf_topk,
         "embedding_near_dup": gate.q_embedding_near_dup,
         "transcript_edges": gate.q_transcript_edges,
         "kronecker_degree_hist": gate.q_kronecker_degree_hist,

@@ -672,3 +672,76 @@ UNION ALL
 SELECT DISTINCT conv_ent AS src, {_ENT.format(k="'role:' || role")} AS dst,
        'participation' AS kind
 FROM ent"""
+
+
+def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL k-means centroids (round 3): 2 Lloyd iterations of
+    distributed spherical k-means (operators/similarity.py
+    kmeans_centroids), then the usual n_probe/rerank.  The DuckDB oracle
+    unrolls the same two iterations in SQL (argmax-cosine assignment →
+    per-(cell,dim) AVG → L2 normalize), so the WHOLE production ANN path —
+    centroid training included — is hash-checked."""
+    from graph500_bfs_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=8, n_iter=2)
+    return ivf_topk(emb, k=5, n_queries=10, n_centroids=8, n_probe=4, centroids=cents)
+
+
+def _kmeans_sql(n_centroids: int = 8, n_iter: int = 2) -> str:
+    """Unrolled spherical-k-means CTE chain ending in cents{n_iter}(centroid, cvec)."""
+    parts = [f"""
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v,
+               v AS raw FROM emb),
+cents0 AS (SELECT vec_id AS centroid,
+                  list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS cvec
+           FROM emb WHERE vec_id < {n_centroids})"""]
+    prev = "cents0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i} AS (SELECT vec_id, centroid FROM (
+    SELECT n.vec_id, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.cvec) DESC, c.centroid) AS rk
+    FROM nrm n, {prev} c) WHERE rk = 1),
+comp{i} AS (SELECT a.centroid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+            FROM a{i} a JOIN emb e ON e.vec_id = a.vec_id),
+m{i} AS (SELECT centroid, list(m ORDER BY pos) AS raw FROM (
+           SELECT centroid, pos, AVG(x) AS m FROM comp{i} GROUP BY centroid, pos)
+         GROUP BY centroid),
+cents{i} AS (SELECT c.centroid,
+                    COALESCE(list_transform(m.raw,
+                        x -> x / sqrt(list_sum(list_transform(m.raw, y -> y*y)))), c.cvec) AS cvec
+             FROM {prev} c LEFT JOIN m{i} m USING (centroid))""")
+        prev = f"cents{i}"
+    return "".join(parts), prev
+
+
+_KMEANS_CTES, _KMEANS_LAST = _kmeans_sql(8, 2)
+
+ORACLES["kmeans_ivf_topk"] = f"""
+WITH {_KMEANS_CTES},
+cents AS (SELECT centroid, cvec FROM {_KMEANS_LAST}),
+assign AS (SELECT vec_id, centroid FROM (
+    SELECT e.vec_id, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid) AS rk
+    FROM emb e, cents c) WHERE rk = 1),
+qprobe AS (SELECT query_id, centroid FROM (
+    SELECT q.vec_id AS query_id, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.centroid) AS rk
+    FROM emb q, cents c WHERE q.vec_id < 10) WHERE rk <= 4),
+cand AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+         FROM qprobe qp JOIN assign a ON a.centroid = qp.centroid
+         WHERE a.vec_id != qp.query_id),
+scored AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, nb.v) AS cos
+           FROM cand c
+           JOIN emb q ON q.vec_id = c.query_id
+           JOIN emb nb ON nb.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5"""

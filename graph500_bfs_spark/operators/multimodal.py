@@ -103,12 +103,19 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = np.empty((len(pdf), FEATURE_DIM), dtype=np.float32)
-            for i, payload in enumerate(pdf["payload"]):
-                d = hashlib.md5(bytes(payload)).digest()
-                out[i] = np.frombuffer(d[: FEATURE_DIM * 2], dtype=np.uint16).astype(
-                    np.float32
-                ) / 65535.0
+            # md5 itself is per-payload (hashlib API), but the digest →
+            # float decode is ONE whole-batch frombuffer + reshape instead
+            # of a per-row loop (round-3 vectorization, same pattern as
+            # decode_metadata's columnar header parse)
+            digests = b"".join(
+                hashlib.md5(bytes(p)).digest()[: FEATURE_DIM * 2] for p in pdf["payload"]
+            )
+            out = (
+                np.frombuffer(digests, dtype=np.uint16)
+                .reshape(len(pdf), FEATURE_DIM)
+                .astype(np.float32)
+                / 65535.0
+            )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "features": [row for row in out]}
             )

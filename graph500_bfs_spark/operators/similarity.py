@@ -184,7 +184,9 @@ def embedding_near_dup_pairs(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, centroids: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, centroid) IVF coarse quantization.
 
     Deterministic centroid set = the first ``n_centroids`` vectors by id
@@ -192,10 +194,12 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     machinery is identical).  Assignment = argmax cosine against the
     broadcast centroid table — one broadcast join, no shuffle of the corpus.
     """
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
-    )
+    if centroids is None:
+        centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+    cents = centroids
     emb = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
@@ -218,18 +222,26 @@ def ivf_topk(
     n_queries: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) IVF-ANN: exact rerank within the
     query's ``n_probe`` nearest centroid cells — the 100 TB scale path
     where the corpus is partitioned by centroid and only probed cells are
-    read (partition pruning on the centroid column at rest)."""
-    assign = ivf_assign(embeddings, n_centroids).cache()
+    read (partition pruning on the centroid column at rest).
+
+    ``centroids``: optional (centroid, cvec) table — pass
+    :func:`kmeans_centroids` output for the production path; the default
+    (first n_centroids vectors by id) is the deterministic stub the
+    correctness gate's SQL oracle mirrors."""
+    if centroids is None:
+        centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+    cents = centroids
+    assign = ivf_assign(embeddings, n_centroids, centroids=cents).cache()
     emb = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
-    )
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -260,3 +272,63 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, n_iter: int = 5
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's) — the PRODUCTION centroid
+    builder for IVF (replacing the deterministic first-N-by-id stub, which
+    the gate keeps for its SQL oracle).
+
+    Deterministic end to end: init = first ``n_centroids`` vectors by id,
+    assignment ties break to the min centroid id, so repeated runs yield
+    identical centroids.  Per iteration, all DataFrame ops — the 100 TB
+    shapes:
+
+    * assign: corpus ⋈ broadcast(centroids) + argmax cosine — NO corpus
+      shuffle (the centroid table is tiny);
+    * update: ``posexplode`` the assigned vectors → per-(cell, dim)
+      ``avg`` — ONE map-side-combined aggregate whose reduce side is only
+      n_centroids × dim rows — then reassemble + L2-normalize (spherical
+      k-means: unit centroids make the cosine objective monotone).
+
+    Empty cells keep their previous centroid.  Returns (centroid, cvec).
+    """
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    unit = lambda c: F.transform(c, lambda x: x / F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v)
+    ))
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid"), unit(F.col("vec")).alias("cvec")
+    )
+    for _ in range(n_iter):
+        scored = emb.join(F.broadcast(cents)).select(
+            "vec_id",
+            "vec",
+            "centroid",
+            (_dot(F.col("vec"), F.col("cvec")) / _norm(F.col("vec"))).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid"))
+        assign = scored.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+        comp = assign.select("centroid", F.posexplode("vec").alias("pos", "x"))
+        means = comp.groupBy("centroid", "pos").agg(F.avg("x").alias("m"))
+        newc = (
+            means.groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("raw")
+            )
+            .select("centroid", unit(F.col("raw")).alias("cvec"))
+        )
+        # empty cells keep their previous centroid (left join, coalesce)
+        cents = (
+            cents.alias("old")
+            .join(newc.alias("new"), "centroid", "left")
+            .select("centroid", F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"))
+            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        )
+    return cents

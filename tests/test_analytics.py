@@ -232,3 +232,56 @@ def test_degree_reorder_map_two_phase(spark):
     want_order = sorted(deg, key=lambda v: (-deg[v], v))
     assert got == {v: i for i, v in enumerate(want_order)}
     assert sorted(got.values()) == list(range(len(deg)))
+
+
+def test_kmeans_ivf_production_path(spark):
+    """Distributed spherical k-means (round 3): deterministic across runs,
+    monotone cosine objective over iterations, and IVF with k-means
+    centroids keeps recall vs the brute-force baseline."""
+    from graph500_bfs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+    c1 = kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    c2 = kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    rows1 = {r["centroid"]: tuple(round(x, 9) for x in r["cvec"]) for r in c1.collect()}
+    rows2 = {r["centroid"]: tuple(round(x, 9) for x in r["cvec"]) for r in c2.collect()}
+    assert rows1 == rows2  # deterministic
+    assert len(rows1) == 8
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-6 for v in rows1.values())  # unit norm
+
+    # Lloyd monotonicity (spherical): mean best-cosine must not decrease
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.similarity import _dot, _norm
+
+    def objective(cents):
+        e = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+        )
+        s = e.join(F.broadcast(cents)).select(
+            "vec_id", (_dot(F.col("vec"), F.col("cvec")) / _norm(F.col("vec"))).alias("sim")
+        )
+        return s.groupBy("vec_id").agg(F.max("sim").alias("b")).agg(F.avg("b")).collect()[0][0]
+
+    c0 = kmeans_centroids(emb, n_centroids=8, n_iter=0)
+    obj = [objective(c0), objective(kmeans_centroids(emb, n_centroids=8, n_iter=1)),
+           objective(c1)]
+    assert obj[0] <= obj[1] + 1e-9 and obj[1] <= obj[2] + 1e-9, obj
+
+    # recall@5 of IVF-with-kmeans vs exact brute force
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5, n_queries=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=5, n_queries=5, n_centroids=8, n_probe=4,
+                          centroids=c1).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"IVF k-means recall too low: {recall}"
