@@ -72,6 +72,13 @@ def run(sf_dir: str, master: str | None = None) -> dict:
         dp = deg.orderBy("v").toPandas()
         dvs = dp["v"].to_numpy(np.int64)
         ddeg = dp["deg"].to_numpy(np.int64)
+        # ship="dir" here: the per-round bench is a SINGLE-NODE number kept
+        # comparable across rounds.  The cluster-real channel (ship="spark",
+        # sc.addFile/SparkFiles — bit-identical results, no shared-FS
+        # assumption) is benchmarked separately at scale 22 where its
+        # overhead is nil: BENCH/scaling_msspark_s22_r32_1v4.json, eff 0.811.
+        # At this leg's scale-18 per-root runs the addFile fixed cost per
+        # superstep costs ~15%, measured and documented in BENCH/BASELINE.md.
         shm = "/dev/shm/g5_bench"
         shutil.rmtree(shm, ignore_errors=True)
         export_blocks_indexed(es, 32, shm, dvs)
