@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": gate.q_embedding_near_dup,
         "transcript_edges": gate.q_transcript_edges,
         "kronecker_degree_hist": gate.q_kronecker_degree_hist,
+        # round 3 additions: near-dup clustering (LSH pairs → connected
+        # components) and analytics over the transcript entity graph itself
+        "dedup_groups_lsh": gate.q_dedup_groups_lsh,
+        "transcript_pagerank": gate.q_transcript_pagerank,
+        "transcript_cc": gate.q_transcript_cc,
     }
 
 

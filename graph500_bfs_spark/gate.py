@@ -159,9 +159,10 @@ edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0)
 """
 
 
-def _pagerank_unrolled_sql(n_iter: int = 10) -> str:
+def _pagerank_unrolled_sql(n_iter: int = 10, edges_cte: str | None = None) -> str:
+    """Unrolled power iteration over any CTE chain ending in edges(src,dst)."""
     parts = [
-        "WITH " + _EDGES_BI + """,
+        "WITH " + (edges_cte if edges_cte is not None else _EDGES_BI) + """,
 verts AS (SELECT DISTINCT src AS v FROM edges),
 nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),
 outdeg AS (SELECT src AS v, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
@@ -745,3 +746,140 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 5"""
+
+
+def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the composition a training-data pipeline
+    actually runs: MinHash-LSH candidate pairs (verified Jaccard ≥ 0.5)
+    become an undirected graph, connected components collapse transitive
+    near-dup chains into groups, and every document gets a canonical
+    group id (its group's min doc_id; singletons = themselves).  Exercises
+    the dedup suite AND the graph engine in one plan."""
+    from graph500_bfs_spark.operators.components import connected_components
+    from graph500_bfs_spark.operators.dedup import minhash_lsh_pairs
+    from graph500_bfs_spark.operators.prep import symmetrize
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=8, bands=4, n=2, verify_threshold=0.5)
+    edges = symmetrize(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("v", "cv"), F.col("doc_id") == F.col("cv"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("dup_group")
+        )
+    )
+
+
+# SQL twin: the minhash_lsh_pairs oracle construction at verify ≥ 0.5, then a
+# recursive transitive closure over the pair graph; docs with no pair are
+# their own group.
+ORACLES["dedup_groups_lsh"] = f"""
+WITH RECURSIVE {_SHINGLES2},
+sig AS (
+  SELECT doc_id,
+         {",".join("MIN(" + _H15.format(expr=f"'{i}:' || shingle") + f") AS h{i}" for i in range(8))}
+  FROM shin GROUP BY doc_id),
+bands AS (
+{_LSH_BANDS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.bucket = y.bucket
+         WHERE x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shin GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN shin a ON a.doc_id = c.doc_a
+          JOIN shin b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS (SELECT i.doc_a, i.doc_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE ROUND(1e9 * i.i / (sa.sz + sb.sz - i.i)) >= 500000000),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+),
+grp AS (SELECT v, MIN(m) AS component FROM reach GROUP BY v)
+SELECT d.doc_id, COALESCE(g.component, d.doc_id) AS dup_group
+FROM documents d LEFT JOIN grp g ON g.v = d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# North-rule graph analytics (round 3): PageRank and connected components over
+# the TRANSCRIPT-derived entity graph itself — the same derivation as
+# q_transcript_edges (md5 entity mode), symmetrized, then the standard
+# operators; oracles rebuild the identical graph in SQL.
+# ---------------------------------------------------------------------------
+
+def _transcript_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph500_bfs_spark.operators.prep import symmetrize
+
+    return symmetrize(q_transcript_edges(spark, sf_dir).select("src", "dst"))
+
+
+_EDGES_TRANSCRIPT = f"""
+turns AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS tool
+  FROM events),
+ent AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CASE WHEN tool IS NOT NULL THEN {_ENT.format(k="'tool:' || tool")}
+              ELSE {_ENT.format(k="'role:' || role")} END AS ent,
+         {_ENT.format(k="'conv:' || conv_id")} AS conv_ent
+  FROM turns),
+lagged AS (
+  SELECT *, LAG(ent) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ent
+  FROM ent),
+tedges AS (
+  SELECT prev_ent AS src, ent AS dst FROM lagged WHERE prev_ent IS NOT NULL
+  UNION ALL
+  SELECT conv_ent, {_ENT.format(k="'tool:' || tool")} FROM ent WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT conv_ent, {_ENT.format(k="'role:' || role")} FROM ent),
+edges AS (SELECT DISTINCT src, dst
+          FROM (SELECT src, dst FROM tedges UNION ALL SELECT dst, src FROM tedges)
+          WHERE src != dst)
+"""
+
+
+def q_transcript_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 power iterations over the transcript entity graph (role/tool hubs
+    carry most of the mass — the skew shape the north rule names)."""
+    from graph500_bfs_spark.operators.pagerank import pagerank
+
+    pr = pagerank(_transcript_graph(spark, sf_dir), damping=0.85, max_iter=10, tol=None)
+    return pr.select("v", F.round(F.col("score") * 1e9).cast("long").alias("score_ppb"))
+
+
+def q_transcript_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the transcript entity graph."""
+    from graph500_bfs_spark.operators.components import connected_components
+
+    return connected_components(_transcript_graph(spark, sf_dir))
+
+
+ORACLES["transcript_pagerank"] = _pagerank_unrolled_sql(10, edges_cte=_EDGES_TRANSCRIPT)
+
+ORACLES["transcript_cc"] = (
+    "WITH RECURSIVE "
+    + _EDGES_TRANSCRIPT
+    + """,
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v, MIN(m) AS component FROM reach GROUP BY v"""
+)
