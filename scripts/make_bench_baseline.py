@@ -1,4 +1,10 @@
-"""Compose BENCH/BASELINE.md from the measured scaling artifacts."""
+"""Compose a skeleton baseline report from the measured scaling artifacts.
+
+Writes BENCH/BASELINE_generated.md.  BENCH/BASELINE.md itself is
+HAND-MAINTAINED (rounds 2-3 added analysis sections — scaling tables,
+superlinearity notes, Iceberg evidence, noise bounds — that a regeneration
+would destroy); use this script only to tabulate fresh artifact JSONs, then
+merge by hand."""
 
 from __future__ import annotations
 
@@ -143,9 +149,10 @@ def main():
         "  Spark with NumPy kernels over mmap'd CSR — with all heavy operations in",
         "  JVM codegen or vectorized NumPy, never row-at-a-time Python.",
     ]
-    (BENCH / "BASELINE.md").write_text("\n".join(lines) + "\n")
+    out = BENCH / "BASELINE_generated.md"
+    out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines[:40]))
-    print("→", BENCH / "BASELINE.md")
+    print("→", out, "(BASELINE.md is hand-maintained — merge manually)")
 
 
 if __name__ == "__main__":

@@ -263,3 +263,12 @@ def test_derive_edges_hash_modes_isomorphic(spark):
         return sorted(c.values())
 
     assert deg_multiset(a) == deg_multiset(b)
+
+
+def test_entry_contract_queries_all_oracled():
+    """Driver-contract invariant (round 3): every queries() entry has an
+    oracle_sql() twin and vice versa — zero rows-only entries."""
+    import __spark_entry__ as m
+
+    q, o = set(m.queries()), set(m.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
