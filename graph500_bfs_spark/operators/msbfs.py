@@ -193,6 +193,15 @@ def bfs_multi(
     t0 = time.perf_counter()
     if ship not in ("dir", "spark"):
         raise ValueError(f"unknown ship mode {ship!r}")
+    # stale per-step bitmap packs (a previous bfs_multi on this dir that
+    # crashed before its end-of-step unlink) must not linger: they grow the
+    # staging dir and, under ship="spark", would be re-shipped to executors
+    for fn in os.listdir(blocks_path):
+        if fn.startswith("bits_"):
+            try:
+                os.unlink(os.path.join(blocks_path, fn))
+            except OSError:
+                pass
     run_tag = ""
     if ship == "spark":
         import uuid
@@ -200,7 +209,11 @@ def bfs_multi(
         sc = spark.sparkContext
         run_tag = uuid.uuid4().hex[:8]
         for fn in sorted(os.listdir(blocks_path)):
-            if fn.endswith(".npy"):
+            # ONLY the immutable CSR block files (b{b}_*.npy + the reorder
+            # map) — never per-step bits_*.npy, which are per-run transient
+            if fn == "vertex_ids.npy" or (
+                fn.startswith("b") and not fn.startswith("bits_") and fn.endswith(".npy")
+            ):
                 # idempotent for unchanged files (re-registration of the
                 # same path is a warning, not an error)
                 sc.addFile(os.path.join(blocks_path, fn))

@@ -98,14 +98,30 @@ class ProtocolLog:
         self.header = dict(header)
         self.completed: dict[int, dict] = {}
         if os.path.exists(path):
+            # A kill mid-append leaves a torn (half-written) trailing line —
+            # the exact crash this log exists to survive.  Parse line by
+            # line and DROP anything unparseable instead of crashing the
+            # resume; the torn root is simply re-run.
+            lines = []
             with open(path) as f:
-                lines = [json.loads(ln) for ln in f if ln.strip()]
+                for ln in f:
+                    if not ln.strip():
+                        continue
+                    try:
+                        lines.append(json.loads(ln))
+                    except json.JSONDecodeError:
+                        break  # torn tail — ignore it and everything after
             if lines and lines[0].get("kind") == "header" and all(
                 lines[0].get(k) == v for k, v in self.header.items()
             ):
                 for row in lines[1:]:
                     if row.get("kind") == "root":
                         self.completed[int(row["i"])] = row
+                # rewrite the file without the torn tail so later appends
+                # don't concatenate onto a half-line
+                with open(path, "w") as f:
+                    for row in lines:
+                        f.write(json.dumps(row) + "\n")
             else:
                 os.unlink(path)  # stale header → restart from scratch
         if not os.path.exists(path):

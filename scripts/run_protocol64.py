@@ -95,7 +95,8 @@ def main():
     # restarted with the same scale/roots skips completed roots via the log.
     log = ProtocolLog(
         str(REPO / "BENCH" / f"protocol{n_roots}_s{scale}.log.jsonl"),
-        {"scale": scale, "n_roots": n_roots, "roots": [int(r) for r in roots]},
+        {"scale": scale, "n_roots": n_roots, "cores": cores,
+         "roots": [int(r) for r in roots]},
     )
     done_before = len(log.completed)
     if done_before:

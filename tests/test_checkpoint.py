@@ -119,3 +119,25 @@ def test_protocol_per_root_kill_and_resume(spark, tmp_path):
     # a header mismatch (different protocol) must invalidate the log
     log3 = ProtocolLog(logf, {**header, "scale": 10})
     assert log3.completed == {}
+
+def test_protocol_log_tolerates_torn_trailing_line(tmp_path):
+    """A kill mid-append leaves a half-written JSON line; restart must
+    resume from the intact prefix instead of crashing (the torn root is
+    simply re-run)."""
+    from graph500_bfs_spark.plans.checkpoint import ProtocolLog
+
+    logf = str(tmp_path / "torn.log.jsonl")
+    header = {"scale": 9, "n_roots": 4, "cores": 4, "roots": [1, 2, 3, 4]}
+    log1 = ProtocolLog(logf, header)
+    log1.record(0, 1, 0.5)
+    log1.record(1, 2, 0.7)
+    with open(logf, "a") as f:
+        f.write('{"kind": "root", "i": 2, "root": 3, "ti')  # torn mid-append
+
+    log2 = ProtocolLog(logf, header)
+    assert sorted(log2.completed) == [0, 1]
+    assert log2.time_s(1) == 0.7
+    # the rewrite truncated the torn tail, so appending stays well-formed
+    log2.record(2, 3, 0.9)
+    log3 = ProtocolLog(logf, header)
+    assert sorted(log3.completed) == [0, 1, 2]
