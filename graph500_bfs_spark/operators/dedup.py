@@ -126,7 +126,9 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) 
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+def _cap_buckets(
+    buckets: DataFrame, max_bucket_size: int, cap_stats: dict | None = None
+) -> DataFrame:
     """Drop degenerate buckets before a bucket self-join.
 
     One boilerplate-heavy bucket shared by millions of docs turns the
@@ -135,13 +137,29 @@ def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
     ``max_shingle_freq`` on the n-gram path.  Dropping a bucket can only
     lose recall for pathological near-identical corpora (which the EXACT
     dedup pass already collapses upstream); the standard tradeoff.
+
+    Drops are OBSERVABLE, not silent: pass ``cap_stats`` (a dict) and the
+    number of dropped buckets / dropped bucket-membership rows is
+    accumulated into it under ``dropped_buckets`` / ``dropped_rows`` (one
+    small eager aggregate over the per-bucket size table — tiny next to
+    the self-join it guards; omit the dict for zero extra work).  A
+    caller seeing ``dropped_rows`` ≫ 0 at defaults should widen the
+    bucket key (e.g. ``chunk_bits=16`` for simhash) rather than raise the
+    cap.
     """
-    ok = (
-        buckets.groupBy("bucket")
-        .agg(F.count("*").alias("_bsz"))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .select("bucket")
-    )
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+    if cap_stats is not None:
+        row = (
+            sizes.filter(F.col("_bsz") > max_bucket_size)
+            .agg(
+                F.count("*").alias("b"),
+                F.coalesce(F.sum("_bsz"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        cap_stats["dropped_buckets"] = cap_stats.get("dropped_buckets", 0) + int(row["b"])
+        cap_stats["dropped_rows"] = cap_stats.get("dropped_rows", 0) + int(row["r"])
+    ok = sizes.filter(F.col("_bsz") <= max_bucket_size).select("bucket")
     return buckets.join(ok, "bucket")
 
 
@@ -152,6 +170,7 @@ def minhash_lsh_pairs(
     n: int = SHINGLE_N,
     verify_threshold: float = 0.1,
     max_bucket_size: int = 10_000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
@@ -159,9 +178,10 @@ def minhash_lsh_pairs(
     passing the verify threshold.  Band key = md5 of the band's hash
     values; the bucket join only compares docs inside a bucket — the
     near-linear scale path for near-dup detection at 100 TB.
-    ``max_bucket_size`` bounds the worst bucket (see :func:`_cap_buckets`);
-    the correctness gate's 500-doc corpus has no bucket near the cap, so
-    its SQL oracle is unaffected.
+    ``max_bucket_size`` bounds the worst bucket and ``cap_stats`` reports
+    what the cap dropped (see :func:`_cap_buckets`); the correctness
+    gate's 500-doc corpus has no bucket near the cap, so its SQL oracle
+    is unaffected.
     """
     sig = minhash_signatures(docs, k, n).cache()
     rows_per_band = k // bands
@@ -177,7 +197,7 @@ def minhash_lsh_pairs(
     buckets = band_frames[0]
     for bf in band_frames[1:]:
         buckets = buckets.unionByName(bf)
-    buckets = _cap_buckets(buckets, max_bucket_size)
+    buckets = _cap_buckets(buckets, max_bucket_size, cap_stats)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")
@@ -227,7 +247,10 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     agg = toks.groupBy("doc_id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        # bit 63 as a SIGNED long literal (1<<63 overflows int64; setting
+        # the sign bit is the two's-complement -(1<<63))
+        w = (1 << j) if j < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0))
     return agg.select("doc_id", sim.alias("simhash"))
 
 
@@ -235,8 +258,9 @@ def simhash_pairs(
     docs: DataFrame,
     bits: int = SIMHASH_BITS,
     max_hamming: int = 6,
-    chunk_bits: int = 8,
+    chunk_bits: int | None = None,
     max_bucket_size: int = 10_000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -247,15 +271,20 @@ def simhash_pairs(
     approximate-recall variant (diffs can spread across all chunks).
 
     Corpus-scale selectivity: a chunk has ≤ 2^chunk_bits distinct values,
-    so raw chunk buckets hold ~N/2^chunk_bits docs — at web scale wider
-    chunks (chunk_bits=16 → 65536-way buckets) and the
-    ``max_bucket_size`` frequency cap (see :func:`_cap_buckets`) keep the
-    bucket self-join from going quadratic on a skewed signature
-    distribution.  The correctness gate runs at the pigeonhole-exact
-    setting (chunk_bits=8, max_hamming=3 = C-1 for 32 bits) on a 500-doc
-    corpus whose buckets are far below the cap, so its brute-force SQL
-    oracle is exact and unaffected by the cap.
+    so raw chunk buckets hold ~N/2^chunk_bits docs.  ``chunk_bits``
+    DEFAULTS BY SIGNATURE WIDTH (None → 16 when bits ≥ 64, else 8): at
+    web scale an 8-bit chunk on a 64-bit signature would put ~N/256 docs
+    in EVERY bucket, tripping the ``max_bucket_size`` cap everywhere and
+    silently returning nothing — 16-bit chunks (65536-way buckets) are
+    the wide-signature default, and ``cap_stats`` (see
+    :func:`_cap_buckets`) reports exactly what the cap dropped so the
+    degenerate case is visible rather than silent.  The correctness gate
+    runs at the pigeonhole-exact setting (bits=32 → chunk_bits=8,
+    max_hamming=3 = C-1) on a 500-doc corpus whose buckets are far below
+    the cap, so its brute-force SQL oracle is exact and unaffected.
     """
+    if chunk_bits is None:
+        chunk_bits = 16 if bits >= 64 else 8
     sig = simhash_signatures(docs, bits).cache()
     chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
@@ -276,7 +305,7 @@ def simhash_pairs(
     buckets = frames[0]
     for fr in frames[1:]:
         buckets = buckets.unionByName(fr)
-    buckets = _cap_buckets(buckets, max_bucket_size)
+    buckets = _cap_buckets(buckets, max_bucket_size, cap_stats)
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")

@@ -210,9 +210,17 @@ def ivf_assign(
             "sim"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w)).filter("rk = 1").select("vec_id", "centroid")
+    # argmax as a MAP-SIDE-COMBINABLE aggregate, not a window: a window must
+    # shuffle all N×K scored rows by vec_id; max_by's partial aggregation
+    # collapses the K centroid rows of each vector to ONE before the
+    # exchange — a K-fold shuffle reduction on the production assignment
+    # path at corpus scale.  struct(sim, -centroid) makes the ordering key
+    # unique per row, so ties deterministically pick the MIN centroid id —
+    # the same contract as the old (desc sim, asc centroid) window.
+    return scored.groupBy("vec_id").agg(
+        F.max_by("centroid", F.struct(F.col("sim"), (-F.col("centroid")).alias("nc"))).alias(
+            "centroid"
+        )
     )
 
 
@@ -311,9 +319,17 @@ def kmeans_centroids(
             "centroid",
             (_dot(F.col("vec"), F.col("cvec")) / _norm(F.col("vec"))).alias("sim"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid"))
-        assign = scored.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
-        comp = assign.select("centroid", F.posexplode("vec").alias("pos", "x"))
+        # same map-side-combinable argmax as ivf_assign (vs. a window that
+        # would shuffle all N×K scored rows); vec rides inside the max_by
+        # payload — it is constant per vec_id, so the result is exact
+        assign = scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct(F.col("centroid"), F.col("vec")),
+                F.struct(F.col("sim"), (-F.col("centroid")).alias("nc")),
+            ).alias("w")
+        )
+        comp = assign.select(F.col("w.centroid").alias("centroid"),
+                             F.posexplode("w.vec").alias("pos", "x"))
         means = comp.groupBy("centroid", "pos").agg(F.avg("x").alias("m"))
         newc = (
             means.groupBy("centroid")

@@ -38,7 +38,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     spark = get_spark(app_name="check_gate")
     con = duckdb.connect()
     for t in TABLES:
@@ -50,6 +50,8 @@ def main(sf_dir: str):
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
@@ -83,4 +85,7 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+    )

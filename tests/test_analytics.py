@@ -190,6 +190,60 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     )
 
 
+def test_lsh_bucket_cap_drops_are_reported(spark):
+    """Round-4: cap drops must be OBSERVABLE, not silent — on the degenerate
+    all-identical corpus, cap_stats reports every dropped bucket/row so a
+    caller can tell 'no near-dups' from 'the cap ate everything'."""
+    from graph500_bfs_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", 35) for i in range(n)],
+        "doc_id long, text string, n_chars int",
+    )
+    stats = {}
+    assert simhash_pairs(docs, bits=32, max_hamming=3, max_bucket_size=8,
+                         cap_stats=stats).count() == 0
+    # 4 chunks of the identical signature → 4 degenerate buckets, 60 rows each
+    assert stats == {"dropped_buckets": 4, "dropped_rows": 4 * n}
+
+    stats = {}
+    assert minhash_lsh_pairs(docs, k=8, bands=4, n=2, verify_threshold=0.05,
+                             max_bucket_size=8, cap_stats=stats).count() == 0
+    assert stats == {"dropped_buckets": 4, "dropped_rows": 4 * n}
+
+    # a benign corpus at defaults reports zero drops
+    stats = {}
+    benign = spark.createDataFrame(
+        [(i, f"text number {i} with unique words w{i} x{i} y{i} z{i}", 40)
+         for i in range(20)],
+        "doc_id long, text string, n_chars int",
+    )
+    simhash_pairs(benign, bits=32, max_hamming=3, cap_stats=stats).count()
+    assert stats == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_simhash_chunk_bits_auto_widens_for_wide_signatures(spark):
+    """chunk_bits=None resolves to 8 for 32-bit signatures (the gate's
+    pigeonhole-exact setting) and 16 for 64-bit ones (the web-scale
+    selectivity setting) — the wide default that keeps ~N/256-sized
+    degenerate buckets from tripping the cap everywhere."""
+    from graph500_bfs_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta w{i} x{i}", 20) for i in range(12)],
+        "doc_id long, text string, n_chars int",
+    )
+    # bits=64, auto chunk_bits → 4 chunks of 16 bits; explicit 16 must agree
+    auto = simhash_pairs(docs, bits=64, max_hamming=3).collect()
+    explicit = simhash_pairs(docs, bits=64, max_hamming=3, chunk_bits=16).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    # bits=32 auto stays at the pigeonhole-exact 8-bit chunks
+    auto32 = simhash_pairs(docs, bits=32, max_hamming=3).collect()
+    explicit32 = simhash_pairs(docs, bits=32, max_hamming=3, chunk_bits=8).collect()
+    assert sorted(map(tuple, auto32)) == sorted(map(tuple, explicit32))
+
+
 def test_rolling_fingerprint_slice_boundaries(spark, monkeypatch):
     """The length-sorted slicing (memory bound, round-3 ADVICE fix) must
     not change any hash: force a tiny cell budget so a mixed-length batch
