@@ -11,16 +11,20 @@ model:
   each block as ``.npy`` files under a directory (``/dev/shm`` locally).
   ``np.load(mmap_mode='r')`` in every Python worker then maps the SAME
   physical pages — one in-RAM copy shared by all cores, the Spark-world
-  equivalent of the reference's per-rank CSR arrays.  On a cluster each
-  executor host exports its own blocks to local storage (a broadcast-file
-  or NFS/alluxio path generalizes it).
+  equivalent of the reference's per-rank CSR arrays.
 * :func:`bfs_shm` — supersteps are ``spark.range(num_blocks) →
   mapInArrow(probe)``: no adjacency shuffle, no adjacency decode per level,
-  task count = block count.  Frontier and visited ship as broadcast sorted
-  NumPy arrays (the reference's allgathered bitmaps, B5); probes are
+  task count = block count.  Frontier and visited ship as sorted NumPy
+  id arrays (the reference's allgathered bitmaps, B5); probes are
   ``np.searchsorted`` (the hashed-id analog of O(1) bitmap tests).
   Candidates pre-dedup per block, aggregate with the usual deterministic
   ``min(parent)``, and the winner set returns to the driver via Arrow.
+
+Block + per-step-array distribution goes through the ONE shared channel in
+operators/_ship.py (same implementation msbfs uses): ``ship="dir"`` mmaps
+the staging dir directly (single-host), ``ship="spark"`` is the tested
+cluster-real mode — every file travels via sc.addFile/SparkFiles with no
+shared-filesystem assumption.
 
 Driver memory holds O(|V|) id arrays — exactly the reference's per-rank
 state budget; beyond driver memory the join BFS (operators/bfs.py) is the
@@ -65,11 +69,13 @@ def export_blocks(
     return num_blocks
 
 
-def _load_block(path: str, b: int):
+def _load_block(path: str, b: int, rp=lambda p: p):
+    """Load one CSR block triple; ``rp`` resolves paths through the ship
+    channel (identity for "dir", SparkFiles.get for "spark")."""
     return (
-        np.load(f"{path}/b{b}_srcs.npy", mmap_mode="r"),
-        np.load(f"{path}/b{b}_indptr.npy", mmap_mode="r"),
-        np.load(f"{path}/b{b}_dsts.npy", mmap_mode="r"),
+        np.load(rp(f"{path}/b{b}_srcs.npy"), mmap_mode="r"),
+        np.load(rp(f"{path}/b{b}_indptr.npy"), mmap_mode="r"),
+        np.load(rp(f"{path}/b{b}_dsts.npy"), mmap_mode="r"),
     )
 
 
@@ -92,15 +98,21 @@ def bfs_shm(
     alpha: float = DEFAULT_ALPHA,
     beta: float = DEFAULT_BETA,
     max_levels: int = 1000,
+    ship: str = "dir",
 ) -> tuple[DataFrame, BfsMetrics]:
     """Direction-optimizing BFS over exported shared-memory CSR blocks.
 
     ``degrees_np`` = (sorted vertex ids, degrees) — collected once per
     graph; the driver plays master rank with O(|V|) arrays (visited set,
     per-level frontiers) exactly as each reference rank holds its bitmap
-    slice.  Returns the usual (state(v,parent,level), metrics).
+    slice.  ``ship`` ("dir" | "spark") selects the shared distribution
+    channel (operators/_ship.py) — "spark" needs no shared filesystem and
+    is bit-identical to "dir" (tested).  Returns the usual
+    (state(v,parent,level), metrics).
     """
-    sc = spark.sparkContext
+    from graph500_bfs_spark.operators._ship import BlockShip
+
+    shipper = BlockShip(spark, blocks_path, ship)
     dvs, ddeg = degrees_np
     n_total = len(dvs)
     metrics = BfsMetrics()
@@ -124,24 +136,29 @@ def bfs_shm(
         direction = guard.step(nq, nq_edges)
 
         ts = time.perf_counter()
-        # frontier/visited ship as .npy files in the shared-memory dir, NOT
-        # as Spark python broadcasts: a broadcast is unpickled into a
+        # frontier/visited ship as .npy files through the shared channel,
+        # NOT as Spark python broadcasts: a broadcast is unpickled into a
         # PRIVATE copy per worker process (N copies + N disk reads per
-        # level); an mmap'd npy is one set of physical pages for all
-        # workers — the true analog of the reference's allgathered bitmap
-        f_path = f"{blocks_path}/frontier_{level}.npy"
-        v_path = f"{blocks_path}/visited_{level}.npy"
-        np.save(f_path, frontier)
-        np.save(v_path, visited)
+        # level); a shipped npy is mmap'd — one set of physical pages for
+        # all workers on a host — the reference's allgathered bitmap
+        f_path = shipper.stage(f"frontier_{level}", frontier)
+        v_path = shipper.stage(f"visited_{level}", visited)
         d = direction
         path = blocks_path
 
-        def probe(batches, _fp=f_path, _vp=v_path, _d=d, _p=path):
-            fr = np.load(_fp, mmap_mode="r")
-            vis = np.load(_vp, mmap_mode="r")
+        def probe(batches, _fp=f_path, _vp=v_path, _d=d, _p=path, _ship=ship):
+            from graph500_bfs_spark.operators._ship import resolver
+
+            rp = resolver(_ship)
+            fr = np.load(rp(_fp), mmap_mode="r")
+            vis = np.load(rp(_vp), mmap_mode="r")
             for batch in batches:
                 for bid in batch.column(0).to_numpy(zero_copy_only=False):
-                    srcs, indptr, dsts = _load_block(_p, int(bid))
+                    b = int(bid)
+                    # a hash-empty block writes no files — skip, don't crash
+                    if not os.path.exists(rp(f"{_p}/b{b}_srcs.npy")):
+                        continue
+                    srcs, indptr, dsts = _load_block(_p, b, rp)
                     srcs = np.asarray(srcs)
                     if _d == "top_down":
                         # rows of frontier vertices → emit unvisited neighbors
@@ -202,8 +219,7 @@ def bfs_shm(
                 a_v, a_p = a_v[order], a_p[order]
                 first = np.concatenate([[True], a_v[1:] != a_v[:-1]])
                 pdf = pd.DataFrame({"v": a_v[first], "parent": a_p[first]})
-        os.unlink(f_path)
-        os.unlink(v_path)
+        shipper.cleanup_step()
         new_vs = pdf["v"].to_numpy(dtype=np.int64, copy=False)
         new_par = pdf["parent"].to_numpy(dtype=np.int64, copy=False)
         order = np.argsort(new_vs, kind="stable")

@@ -39,6 +39,7 @@ from graph500_bfs_spark.operators._direction import (
     DEFAULT_BETA,
     DirectionGuard,
 )
+from graph500_bfs_spark.operators._ship import BlockShip
 from graph500_bfs_spark.operators.bfs import BfsMetrics
 from graph500_bfs_spark.operators.csr_blocks import _gather_ranges, build_blocks
 
@@ -144,6 +145,67 @@ def _bit_set(bitmap: np.ndarray, idx: np.ndarray) -> None:
         np.bitwise_or.at(bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
 
 
+def _save_batch_checkpoint(path: str, sig: dict, states, step: int) -> None:
+    """Atomic per-root state snapshot (ONE .npz, tmp-write + rename): the
+    msbfs analog of the join path's per-superstep CheckpointManager — a
+    kill inside a batch resumes at the last saved superstep instead of
+    restarting every root (reference LOGFILE granularity extended
+    mid-root, /root/reference/mpi/logfile.h:141-150)."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+    meta = {"sig": sig, "step": int(step), "states": {}}
+    for s in states:
+        off = np.concatenate([[0], np.cumsum([len(v) for v in s.vis])]).astype(np.int64)
+        arrays[f"r{s.rid}_vis"] = (
+            np.concatenate(s.vis) if s.vis else np.empty(0, np.int64)
+        )
+        arrays[f"r{s.rid}_par"] = (
+            np.concatenate(s.parents) if s.parents else np.empty(0, np.int64)
+        )
+        arrays[f"r{s.rid}_off"] = off
+        arrays[f"r{s.rid}_fidx"] = s.fidx
+        g = s.guard
+        meta["states"][str(s.rid)] = {
+            "root": int(s.root),
+            "done": bool(s.done),
+            "supersteps": int(s.supersteps),
+            "levels": [int(x) for x in s.levels],
+            "nq_edges": int(s.nq_edges),
+            "guard": {
+                "direction": g.direction,
+                "growing": bool(g.growing),
+                "prev_nq": int(g.prev_nq),
+                "visited_edges": int(g.visited_edges),
+                "frontier_repr": g.frontier_repr,
+            },
+        }
+    arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    tmp = os.path.join(path, "snap.tmp.npz")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, os.path.join(path, "snap.npz"))
+
+
+def _load_batch_checkpoint(path: str, sig: dict):
+    """Returns (meta, npz) for a snapshot matching ``sig``, else None."""
+    import json
+    import zipfile
+
+    f = os.path.join(path, "snap.npz")
+    if not os.path.exists(f):
+        return None
+    try:
+        z = np.load(f)
+        meta = json.loads(bytes(z["_meta"]).decode())
+    except (zipfile.BadZipFile, KeyError, ValueError, OSError):
+        return None  # torn snapshot (kill mid-write before the rename)
+    if meta.get("sig") != sig:
+        return None  # different batch/graph — ignore, start fresh
+    return meta, z
+
+
 def bfs_multi(
     spark: SparkSession,
     blocks_path: str,
@@ -155,6 +217,10 @@ def bfs_multi(
     beta: float = DEFAULT_BETA,
     max_levels: int = 1000,
     ship: str = "dir",
+    merge: str = "driver",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 4,
+    interrupt_at_step: int | None = None,
 ) -> tuple[dict[int, DataFrame], BfsMetrics]:
     """Run BFS from every root concurrently; returns ({root: state}, metrics).
 
@@ -167,6 +233,30 @@ def bfs_multi(
     min-parent dedup is ONE lexsort over the whole Arrow batch (not R
     pandas scans), and the collect is Arrow-native (toArrow, no pandas
     conversion).
+
+    ``merge`` selects WHERE the cross-block min-parent dedup runs:
+
+    * ``"driver"`` — the probe's per-(block, root) candidates stream to the
+      driver, which packs (vi, parent) into uint64 keys and sorts (fastest
+      on one node: no shuffle stage, the superstep is a single map-only
+      job).  The driver is then the frontier-merge hub — it receives
+      O(candidate) rows per step.
+    * ``"spark"`` — the dedup is a distributed ``groupBy(r, vi).min(parent)``
+      BETWEEN the probe and the collect (the executor-side analog of the
+      reference's per-rank NQ merge before its allgather,
+      /root/reference/mpi/bfs.hpp:634-696): Catalyst's partial aggregation
+      combines map-side and the driver receives ONLY final winners
+      (≤ Σ new-frontier sizes, never the duplicated candidate set).  Costs
+      one shuffle per superstep; at cluster scale that shuffle is sized by
+      the frontier, not the graph, and the driver stops being the merge
+      hub.  Results are bit-identical to ``"driver"`` (same min contract) —
+      tested.
+
+    Driver-resident state (both merge modes) is the per-root visited
+    bitmaps + shipped bitmap packs + accumulated result id lists — see
+    :func:`driver_state_bytes` for the formula and :func:`bfs_roots` for
+    the dispatcher that flips to the fully-distributed join BFS when that
+    budget would overflow driver memory.
 
     ``ship`` selects the CSR-block + per-step-bitmap distribution channel:
 
@@ -185,38 +275,29 @@ def bfs_multi(
       get a unique run tag (re-adding a changed file under the same name
       is an error in Spark); executor-side copies are reclaimed at
       application exit.
+
+    ``checkpoint_dir`` enables MID-BATCH resume: every ``checkpoint_every``
+    supersteps the full per-root state (level lists, frontier, guard) is
+    snapshotted atomically; a killed batch re-invoked with the same
+    checkpoint_dir + roots + graph resumes at the last snapshot and
+    produces bit-identical final states (tested) — the same granularity
+    the join path gets from CheckpointManager.  ONE snapshot slot per dir
+    (use a distinct checkpoint_dir per concurrent batch); a snapshot from
+    a different (roots, graph) signature is ignored, and the slot is
+    cleared on completion.  ``interrupt_at_step`` is the kill-simulation
+    test hook.
     """
     dvs, ddeg = degrees_np
     n_total = len(dvs)
     nbytes = (n_total + 7) // 8
     metrics = BfsMetrics()
     t0 = time.perf_counter()
-    if ship not in ("dir", "spark"):
-        raise ValueError(f"unknown ship mode {ship!r}")
-    # stale per-step bitmap packs (a previous bfs_multi on this dir that
-    # crashed before its end-of-step unlink) must not linger: they grow the
-    # staging dir and, under ship="spark", would be re-shipped to executors
-    for fn in os.listdir(blocks_path):
-        if fn.startswith("bits_"):
-            try:
-                os.unlink(os.path.join(blocks_path, fn))
-            except OSError:
-                pass
-    run_tag = ""
-    if ship == "spark":
-        import uuid
-
-        sc = spark.sparkContext
-        run_tag = uuid.uuid4().hex[:8]
-        for fn in sorted(os.listdir(blocks_path)):
-            # ONLY the immutable CSR block files (b{b}_*.npy + the reorder
-            # map) — never per-step bits_*.npy, which are per-run transient
-            if fn == "vertex_ids.npy" or (
-                fn.startswith("b") and not fn.startswith("bits_") and fn.endswith(".npy")
-            ):
-                # idempotent for unchanged files (re-registration of the
-                # same path is a warning, not an error)
-                sc.addFile(os.path.join(blocks_path, fn))
+    if merge not in ("driver", "spark"):
+        raise ValueError(f"unknown merge mode {merge!r}")
+    # ONE shipping implementation for all CSR strategies (operators/_ship.py):
+    # registers the immutable block files, clears stale transients, and
+    # stages the per-step bitmap packs below
+    shipper = BlockShip(spark, blocks_path, ship)
     out_schema = pa.schema(
         [pa.field("r", pa.int32()), pa.field("vi", pa.int64()), pa.field("parent", pa.int64())]
     )
@@ -244,6 +325,37 @@ def bfs_multi(
     states = [RootState(i, r) for i, r in enumerate(roots)]
     base = spark.range(0, num_blocks, numPartitions=num_blocks)
     step = 0
+    ckpt_sig = {
+        "roots": [int(r) for r in roots],
+        "n": int(n_total),
+        "m": int(m_edges),
+    }
+    if checkpoint_dir:
+        snap = _load_batch_checkpoint(checkpoint_dir, ckpt_sig)
+        if snap is not None:
+            meta, z = snap
+            step = int(meta["step"])
+            for s in states:
+                d = meta["states"][str(s.rid)]
+                off = z[f"r{s.rid}_off"]
+                vis_flat = np.asarray(z[f"r{s.rid}_vis"], dtype=np.int64)
+                par_flat = np.asarray(z[f"r{s.rid}_par"], dtype=np.int64)
+                s.vis = [vis_flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+                s.parents = [par_flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+                s.levels = list(d["levels"])
+                s.fidx = np.asarray(z[f"r{s.rid}_fidx"], dtype=np.int64)
+                s.done = bool(d["done"])
+                s.supersteps = int(d["supersteps"])
+                s.nq_edges = int(d["nq_edges"])
+                s.vbit = np.zeros(nbytes, dtype=np.uint8)
+                if len(vis_flat):
+                    _bit_set(s.vbit, vis_flat)
+                g = d["guard"]
+                s.guard.direction = g["direction"]
+                s.guard.growing = bool(g["growing"])
+                s.guard.prev_nq = int(g["prev_nq"])
+                s.guard.visited_edges = int(g["visited_edges"])
+                s.guard.frontier_repr = g["frontier_repr"]
 
     while any(not s.done for s in states) and step < max_levels:
         active = [s for s in states if not s.done]
@@ -260,22 +372,13 @@ def bfs_multi(
             _bit_set(bits[slot, 0], s.fidx)
             bits[slot, 1] = s.vbit
             manifest.append((s.rid, s.guard.direction, slot))
-        bits_name = f"bits_{run_tag}_s{step}.npy" if ship == "spark" else f"bits_s{step}.npy"
-        bits_file = f"{blocks_path}/{bits_name}"
-        np.save(bits_file, bits)
-        if ship == "spark":
-            spark.sparkContext.addFile(bits_file)
+        bits_file = shipper.stage(f"bits_s{step}", bits)
         t_ship = time.perf_counter()
 
         def probe(batches, _m=tuple(manifest), _p=blocks_path, _bf=bits_file, _ship=ship):
-            if _ship == "spark":
-                from pyspark import SparkFiles
+            from graph500_bfs_spark.operators._ship import resolver
 
-                def rp(path):  # resolve through the executor's fetched copy
-                    return SparkFiles.get(os.path.basename(path))
-            else:
-                def rp(path):
-                    return path
+            rp = resolver(_ship)
             allbits = np.load(rp(_bf), mmap_mode="r")
             for batch in batches:
                 for bid in batch.column(0).to_numpy(zero_copy_only=False):
@@ -328,19 +431,44 @@ def bfs_multi(
                             )
 
         t_job0 = time.perf_counter()
-        tbl = base.mapInArrow(probe, "r int, vi long, parent long").toArrow()
+        cand = base.mapInArrow(probe, "r int, vi long, parent long")
+        if merge == "spark":
+            # executor-side frontier merge: partial min combines map-side,
+            # the exchange carries candidate winners keyed by (root, vertex),
+            # and the driver collects ONLY final winners — the per-rank NQ
+            # merge before the allgather, not a driver hub
+            cand = cand.groupBy("r", "vi").agg(F.min("parent").alias("parent"))
+        tbl = cand.toArrow()
         t_job = time.perf_counter() - t_job0
-        # Split rows per root WITHOUT sorting: probe yields one RecordBatch
-        # per (block, root), so r is piecewise constant within any batch the
-        # collect path may have re-split — change points found per batch.
+        if merge == "spark" and tbl.num_rows:
+            # winners arrive hash-partition-ordered; ONE vectorized stable
+            # sort by root re-blocks them into a single slice per root for
+            # the change-point split below
+            rb = tbl.column(0).to_numpy(zero_copy_only=False)
+            order = np.argsort(rb, kind="stable")
+            slices = [
+                (
+                    rb[order],
+                    tbl.column(1).to_numpy(zero_copy_only=False)[order],
+                    tbl.column(2).to_numpy(zero_copy_only=False)[order],
+                )
+            ]
+        else:
+            # driver merge: probe yields one RecordBatch per (block, root),
+            # so r is piecewise constant within any batch the collect path
+            # may have re-split — no sort needed
+            slices = [
+                (
+                    b.column(0).to_numpy(zero_copy_only=False),
+                    b.column(1).to_numpy(zero_copy_only=False),
+                    b.column(2).to_numpy(zero_copy_only=False),
+                )
+                for b in tbl.to_batches()
+                if b.num_rows
+            ]
         per_vi: dict[int, list] = {}
         per_p: dict[int, list] = {}
-        for b in tbl.to_batches():
-            if b.num_rows == 0:
-                continue
-            rb = b.column(0).to_numpy(zero_copy_only=False)
-            vb = b.column(1).to_numpy(zero_copy_only=False)
-            pb = b.column(2).to_numpy(zero_copy_only=False)
+        for rb, vb, pb in slices:
             # change-point split handles EVERY arrangement of r within a
             # batch (a batch shaped [A..,B..,A..] included); with no change
             # points it degenerates to one slice, so no fast path is needed
@@ -396,7 +524,7 @@ def bfs_multi(
             s.nq_edges = int(ddeg[idx].sum())
             s.supersteps += 1
 
-        os.unlink(bits_file)
+        shipper.cleanup_step()
         t_end = time.perf_counter()
         metrics.supersteps.append(
             {
@@ -411,7 +539,18 @@ def bfs_multi(
             }
         )
         step += 1
+        if checkpoint_dir and step % max(checkpoint_every, 1) == 0:
+            _save_batch_checkpoint(checkpoint_dir, ckpt_sig, states, step)
+        if interrupt_at_step is not None and step >= interrupt_at_step:
+            raise KeyboardInterrupt(f"simulated kill after superstep {step}")
 
+    if checkpoint_dir:
+        # completed batch: drop the snapshot so an identical later call
+        # starts fresh instead of "resuming" a finished run
+        try:
+            os.unlink(os.path.join(checkpoint_dir, "snap.npz"))
+        except OSError:
+            pass
     metrics.total_time_s = time.perf_counter() - t0
     metrics.traversed_edges = sum(s.guard.visited_edges for s in states) // 2
 
@@ -427,3 +566,90 @@ def bfs_multi(
             "v long, parent long, level int",
         )
     return results, metrics
+
+
+def driver_state_bytes(
+    n_vertices: int, n_roots: int, reached_per_root: int | None = None
+) -> int:
+    """Peak driver-resident bytes for :func:`bfs_multi` — the documented
+    budget formula behind :func:`bfs_roots`'s strategy flip.
+
+    Three driver-held pieces (the reference distributes the analogous state
+    per rank, /root/reference/mpi/bfs.hpp:634-696 — this formula is what
+    bounds how far the shared-state MS-BFS design stretches):
+
+    * per-root visited bitmaps:           R × ⌈n/8⌉
+    * per-step shipped bitmap pack
+      ([fbit, vbit] per active root):     2R × ⌈n/8⌉
+    * accumulated (vi, parent, level)
+      result lists:                       R × reached × (8+8+4) bytes
+
+    ``reached_per_root`` defaults to n (every vertex reached — the Graph500
+    giant-component worst case).  At scale 26 with 64 roots this is
+    ~1.5 GB of bitmaps + ~84 GB of id lists → far past any driver; the
+    join BFS (operators/bfs.py), whose state is a DataFrame, is the
+    beyond-budget strategy.
+    """
+    nbytes = (n_vertices + 7) // 8
+    reached = n_vertices if reached_per_root is None else reached_per_root
+    return 3 * n_roots * nbytes + n_roots * reached * 20
+
+
+def bfs_roots(
+    spark: SparkSession,
+    edges_sym: DataFrame,
+    roots: list[int],
+    degrees: DataFrame,
+    n_vertices: int,
+    m_edges: int,
+    blocks_path: str | None = None,
+    num_blocks: int = 16,
+    driver_memory_budget: int = 8 << 30,
+    **bfs_multi_kwargs,
+) -> tuple[dict[int, DataFrame], str]:
+    """Run BFS from every root with an EXPLICIT driver-memory budget.
+
+    Strategy dispatch (returns ({root: state}, strategy_used)):
+
+    * :func:`driver_state_bytes`(n, R) ≤ ``driver_memory_budget`` → the
+      high-TEPS multi-source batch (:func:`bfs_multi`, exporting CSR
+      blocks to ``blocks_path`` if not already exported);
+    * otherwise → the fully-declarative join BFS (operators/bfs.py), whose
+      per-root state lives in DataFrames — nothing driver-resident scales
+      with |V|, so it is the beyond-budget physical strategy.
+
+    Both strategies satisfy the same deterministic min-parent contract, so
+    the flip changes the plan, never the answer (tested).
+    """
+    import tempfile
+
+    import pandas as _pd  # noqa: F401  (createDataFrame path in bfs_multi)
+
+    from graph500_bfs_spark.operators.bfs import bfs as join_bfs
+
+    need = driver_state_bytes(n_vertices, len(roots))
+    if need <= driver_memory_budget:
+        dp = degrees.orderBy("v").toPandas()
+        dvs = dp["v"].to_numpy(np.int64)
+        ddeg = dp["deg"].to_numpy(np.int64)
+        owns_path = blocks_path is None
+        if owns_path:
+            blocks_path = tempfile.mkdtemp(prefix="g5_msbfs_")
+        if not os.path.exists(os.path.join(blocks_path, "vertex_ids.npy")):
+            export_blocks_indexed(edges_sym, num_blocks, blocks_path, dvs)
+        results, _ = bfs_multi(
+            spark, blocks_path, num_blocks, roots, (dvs, ddeg), m_edges,
+            **bfs_multi_kwargs,
+        )
+        if owns_path:
+            import shutil
+
+            shutil.rmtree(blocks_path, ignore_errors=True)
+        return results, "msbfs"
+    results = {}
+    for r in roots:
+        state, _ = join_bfs(
+            edges_sym, r, degrees=degrees, n_vertices=n_vertices, m_edges=m_edges
+        )
+        results[r] = state
+    return results, "join"

@@ -12,6 +12,9 @@ Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode]
         | msspark (multi-source batch, sc.addFile/SparkFiles shipping —
           the CLUSTER-REAL channel with no shared-FS assumption; the
           staging dir is driver-local only)
+        | msmerge (msspark + EXECUTOR-SIDE frontier merge, merge="spark":
+          the driver collects only final winners — the fully cluster-real
+          configuration with neither a shared FS nor a driver merge hub)
 
 Mirrors the reference's run-benchmark.py orchestration role
 (/root/reference/run-benchmark.py:104-200).
@@ -62,10 +65,11 @@ deg = out_degrees(es).cache()
 n_total = deg.count()
 
 times, nedges = [], []
-if mode in ("ms", "msspark"):
+if mode in ("ms", "msspark", "msmerge"):
     from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
 
-    ship = "spark" if mode == "msspark" else "dir"
+    ship = "spark" if mode in ("msspark", "msmerge") else "dir"
+    merge = "spark" if mode == "msmerge" else "driver"
     dp = deg.orderBy("v").toPandas()
     dvs = dp["v"].to_numpy(np.int64); ddeg = dp["deg"].to_numpy(np.int64)
     # msspark: DRIVER-LOCAL staging only — workers get every file through
@@ -77,8 +81,10 @@ if mode in ("ms", "msspark"):
     nblocks = max(cores * 2, 16)
     export_blocks_indexed(es, nblocks, path, dvs)
     roots = sample_roots(deg, n_roots, max_vertex=1 << scale)
-    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir, ship=ship)  # warm
-    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir, ship=ship)
+    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir,
+                         ship=ship, merge=merge)  # warm
+    res, met = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir,
+                         ship=ship, merge=merge)
     shutil.rmtree(path, ignore_errors=True)
     print("RESULT " + json.dumps({{
         "cores": cores, "scale": scale, "n_roots": n_roots, "mode": mode,

@@ -141,3 +141,58 @@ def test_protocol_log_tolerates_torn_trailing_line(tmp_path):
     log2.record(2, 3, 0.9)
     log3 = ProtocolLog(logf, header)
     assert sorted(log3.completed) == [0, 1, 2]
+
+def test_msbfs_mid_batch_kill_and_resume_identical(spark, tmp_path):
+    """Round-4: a kill INSIDE a multi-source batch resumes at the last
+    snapshotted superstep (not root 0) and the resumed run's final states
+    and traversed-edge count are bit-identical to an uninterrupted run."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg"), F.asc("v")).limit(3).collect()]
+    ckpt = str(tmp_path / "ckpt")
+
+    res_ref, met_ref = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m)
+    n_steps = len(met_ref.supersteps)
+    assert n_steps >= 3, "fixture too shallow to test a mid-batch kill"
+
+    # kill after superstep 2 (snapshot every step so the kill is mid-batch)
+    with pytest.raises(KeyboardInterrupt):
+        bfs_multi(spark, path, 4, roots, (dvs, ddeg), m,
+                  checkpoint_dir=ckpt, checkpoint_every=1, interrupt_at_step=2)
+
+    res2, met2 = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m,
+                           checkpoint_dir=ckpt, checkpoint_every=1)
+    # resumed: only the remaining supersteps ran
+    assert len(met2.supersteps) == n_steps - 2
+    assert met2.traversed_edges == met_ref.traversed_edges
+    for r in roots:
+        a = {(x["v"], x["parent"], x["level"]) for x in res_ref[r].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res2[r].collect()}
+        assert a == b, f"resume diverges for root {r}"
+    import os
+    assert not os.path.exists(os.path.join(ckpt, "snap.npz"))  # cleared on completion
+
+    # a snapshot for a DIFFERENT batch must be ignored, not resumed into
+    with pytest.raises(KeyboardInterrupt):
+        bfs_multi(spark, path, 4, roots, (dvs, ddeg), m,
+                  checkpoint_dir=ckpt, checkpoint_every=1, interrupt_at_step=1)
+    other = roots[:2]
+    res3, _ = bfs_multi(spark, path, 4, other, (dvs, ddeg), m, checkpoint_dir=ckpt)
+    for r in other:
+        a = {(x["v"], x["parent"], x["level"]) for x in res_ref[r].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res3[r].collect()}
+        assert a == b

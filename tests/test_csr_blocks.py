@@ -141,3 +141,93 @@ def test_msbfs_spark_ship_matches_dir_ship(spark, tmp_path):
         a = {(x["v"], x["parent"], x["level"]) for x in res_dir[r].collect()}
         b = {(x["v"], x["parent"], x["level"]) for x in res_sp[r].collect()}
         assert a == b, f"ship modes diverge for root {r}"
+
+
+def test_msbfs_spark_merge_matches_driver_merge(spark, tmp_path):
+    """merge='spark' (executor-side groupBy(r, vi).min(parent) — the driver
+    receives only final winners, not the candidate set) must produce
+    bit-identical BFS states and metrics to the driver-side numpy merge."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg"), F.asc("v")).limit(3).collect()]
+
+    res_drv, met_drv = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m, merge="driver")
+    res_sp, met_sp = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m, merge="spark")
+    assert met_drv.traversed_edges == met_sp.traversed_edges
+    assert len(met_drv.supersteps) == len(met_sp.supersteps)
+    for r in roots:
+        a = {(x["v"], x["parent"], x["level"]) for x in res_drv[r].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res_sp[r].collect()}
+        assert a == b, f"merge modes diverge for root {r}"
+
+
+def test_bfs_roots_budget_flips_strategy_same_answer(spark, tmp_path):
+    """bfs_roots dispatches by the documented driver_state_bytes formula: a
+    generous budget runs the multi-source batch, a zero budget flips to the
+    fully-declarative join BFS — identical states either way."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_roots, driver_state_bytes
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=8, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    n = deg.count()
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg"), F.asc("v")).limit(2).collect()]
+    assert driver_state_bytes(n, len(roots)) > 0
+
+    res_ms, strat_ms = bfs_roots(
+        spark, es, roots, deg, n, m,
+        blocks_path=str(tmp_path / "blocks"), num_blocks=4,
+        driver_memory_budget=8 << 30,
+    )
+    assert strat_ms == "msbfs"
+    res_j, strat_j = bfs_roots(spark, es, roots, deg, n, m, driver_memory_budget=0)
+    assert strat_j == "join"
+    for r in roots:
+        a = {(x["v"], x["parent"], x["level"]) for x in res_ms[r].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res_j[r].collect()}
+        assert a == b, f"strategies diverge for root {r}"
+
+
+def test_bfs_shm_spark_ship_matches_dir_ship(spark, tmp_path):
+    """bfs_shm over the shared _ship channel: ship='spark' (sc.addFile +
+    SparkFiles, no shared-FS assumption) must be bit-identical to the
+    shared-directory mode — one shipping implementation for both CSR
+    strategies."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.csr_shm import bfs_shm, export_blocks
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks(es, 4, path)
+    root = int(deg.orderBy(F.desc("deg"), F.asc("v")).limit(1).collect()[0]["v"])
+
+    st_dir, met_dir = bfs_shm(spark, path, 4, root, (dvs, ddeg), m, ship="dir")
+    st_sp, met_sp = bfs_shm(spark, path, 4, root, (dvs, ddeg), m, ship="spark")
+    assert met_dir.traversed_edges == met_sp.traversed_edges
+    a = {(x["v"], x["parent"], x["level"]) for x in st_dir.collect()}
+    b = {(x["v"], x["parent"], x["level"]) for x in st_sp.collect()}
+    assert a == b
