@@ -196,3 +196,62 @@ def test_msbfs_mid_batch_kill_and_resume_identical(spark, tmp_path):
         a = {(x["v"], x["parent"], x["level"]) for x in res_ref[r].collect()}
         b = {(x["v"], x["parent"], x["level"]) for x in res3[r].collect()}
         assert a == b
+
+def test_aggregate_protocol_logs_merges_partials(tmp_path):
+    """Offline aggregator (logreader.cc / aggregate_results.py analog):
+    two partial logs of one protocol merge to the SAME stats an unsplit
+    log yields; mismatched headers and conflicting duplicates are errors."""
+    import json
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from aggregate_protocol_logs import aggregate
+
+    from graph500_bfs_spark.plans.checkpoint import ProtocolLog
+
+    header = {"scale": 10, "n_roots": 4, "cores": 4, "roots": [7, 8, 9, 10]}
+    rows = [(0, 7, 1.0, 16383), (1, 8, 2.0, 16383), (2, 9, 4.0, 16383), (3, 10, 8.0, 16383)]
+
+    full = str(tmp_path / "full.log.jsonl")
+    la = ProtocolLog(full, header)
+    for i, r, t, e in rows:
+        la.record(i, r, t, traversed_edges=e)
+    # partials: roots 0-1 in one log, 1-3 in the other (index 1 overlaps,
+    # with identical values — allowed)
+    p1, p2 = str(tmp_path / "p1.log.jsonl"), str(tmp_path / "p2.log.jsonl")
+    l1 = ProtocolLog(p1, header)
+    for i, r, t, e in rows[:2]:
+        l1.record(i, r, t, traversed_edges=e)
+    l2 = ProtocolLog(p2, header)
+    for i, r, t, e in rows[1:]:
+        l2.record(i, r, t, traversed_edges=e)
+
+    got = aggregate([p1, p2])
+    want = aggregate([full])
+    assert got == want
+    assert got["complete"] and got["completed_roots"] == 4
+    # harmonic mean of TEPS 16383/t for t in 1,2,4,8: 4/((1+2+4+8)/16383)
+    assert got["TEPS_harmonic_mean_TEPS"] == pytest.approx(4 * 16383 / 15.0)
+
+    # a partial alone reports incomplete stats over what exists
+    part = aggregate([p1])
+    assert not part["complete"] and part["completed_roots"] == 2
+
+    # header mismatch is a hard error
+    pbad = str(tmp_path / "bad.log.jsonl")
+    lb = ProtocolLog(pbad, {**header, "scale": 11})
+    lb.record(0, 7, 1.0, traversed_edges=16383)
+    with pytest.raises(ValueError, match="header mismatch"):
+        aggregate([p1, pbad])
+
+    # same root index with DIFFERENT values is a hard error
+    pdup = str(tmp_path / "dup.log.jsonl")
+    with open(pdup, "w") as f:
+        f.write(json.dumps({"kind": "header", **header}) + "\n")
+        f.write(json.dumps({"kind": "root", "i": 0, "root": 7, "time_s": 9.9,
+                            "traversed_edges": 16383}) + "\n")
+    with pytest.raises(ValueError, match="recorded twice"):
+        aggregate([p1, pdup])
