@@ -201,6 +201,7 @@ def run_graph500_benchmark(
     validate: bool = False,
     validation_level: int | None = None,
     min_levels_repick: int = 3,
+    real_benchmark: bool = False,
 ) -> dict:
     """The full benchmark protocol of mpi/main.cc:393-714 as one callable:
     generate → symmetrize → degree/adjacency build → sample roots (with the
@@ -214,8 +215,22 @@ def run_graph500_benchmark(
           as edge_visit_count for every root (pf_nedge semantics);
       0 — skip validation entirely; TEPS uses the pf_nedge[scale] table
           (only valid for pure Kronecker inputs, edgefactor 16, seeds 2/3).
-    ``validate=True`` is the legacy alias for level 2."""
+    ``validate=True`` is the legacy alias for level 2.
+
+    ``real_benchmark`` mirrors the reference's -R spec-bundle switch
+    (/root/reference/mpi/main.cc:846-856): ONE flag forcing the
+    submission-grade configuration — ``n_roots = NUM_BFS_ROOTS`` (64),
+    ``validation_level = 2`` (every root five-checked), and ``pre_exec``
+    (an untimed warm-up BFS before the timed loop, the reference's
+    prepare_bfs pre-exec pass) — overriding whatever the caller passed for
+    those three knobs."""
     import time as _time
+
+    pre_exec = False
+    if real_benchmark:
+        n_roots = NUM_BFS_ROOTS
+        validation_level = 2
+        pre_exec = True
 
     from graph500_bfs_spark.operators.bfs import bfs, build_adjacency, complete_result
     from graph500_bfs_spark.operators.prep import out_degrees, symmetrize, vertex_ids
@@ -252,6 +267,13 @@ def run_graph500_benchmark(
             roots = sample_roots(root_deg, n_roots, seed1=2 + seed_bump, seed2=3 + seed_bump,
                                  max_vertex=1 << scale)
         level_v = validation_level if validation_level is not None else (2 if validate else None)
+        if pre_exec:
+            # -R pre-exec: one untimed warm-up traversal (JIT/caches/page
+            # tables) before the timed loop, discarded (reference
+            # prepare_bfs pre_exec pass)
+            bfs(es, roots[0], degrees=deg, n_vertices=n_total, m_edges=m_dir,
+                adjacency=adj)
+            pre_exec = False  # once per benchmark, not per re-pick round
         times, nedges, levels = [], [], []
         first_count: int | None = None
         for i, r in enumerate(roots):
@@ -281,6 +303,8 @@ def run_graph500_benchmark(
     stats = teps_stats(nedges, times)
     return {
         "scale": scale,
+        "real_benchmark": real_benchmark,
+        "validation_level": level_v,
         "edgefactor": edgefactor,
         "n_vertices": n_total,
         "m_directed": m_dir,

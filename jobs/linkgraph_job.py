@@ -48,11 +48,23 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--validation-level", type=int, choices=(0, 1, 2), default=None,
                    help="Graph500 -v: 0 pf_nedge table, 1 first-root, 2 every root")
+    p.add_argument("--real-benchmark", action="store_true",
+                   help="Graph500 -R spec bundle: forces 64 roots, "
+                        "validation level 2, and a pre-exec warm-up")
     p.add_argument("--ship", choices=("dir", "spark"), default="spark",
                    help="msbfs CSR/bitmap channel: 'spark' = sc.addFile/SparkFiles "
                         "(cluster-real, no shared FS); 'dir' = shared directory")
+    p.add_argument("--merge", choices=("driver", "spark"), default="spark",
+                   help="msbfs frontier merge: 'spark' = executor-side "
+                        "groupBy(r,vi).min(parent), driver collects only final "
+                        "winners (cluster default); 'driver' = driver-side numpy "
+                        "merge (fastest single-node, no shuffle stage)")
     p.add_argument("--blocks-dir", default="/tmp/g5_blocks",
                    help="msbfs CSR staging dir (driver-local under --ship spark)")
+    p.add_argument("--driver-memory-budget", type=int, default=8 << 30,
+                   help="msbfs driver-state budget in bytes (driver_state_bytes "
+                        "formula); past it msbfs refuses and the join BFS is the "
+                        "strategy — see operators/msbfs.bfs_roots")
     args = p.parse_args(argv)
 
     from graph500_bfs_spark.plans.checkpoint import CheckpointManager
@@ -94,6 +106,7 @@ def main(argv=None):
         result.update(run_graph500_benchmark(
             spark, args.scale, args.edgefactor, args.roots,
             validation_level=args.validation_level,
+            real_benchmark=args.real_benchmark,
         ))
     elif args.algo == "msbfs":
         # multi-source batch over the protocol roots, CSR + bitmaps shipped
@@ -104,11 +117,25 @@ def main(argv=None):
         import numpy as np
 
         from graph500_bfs_spark.operators.graph500 import sample_roots
-        from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+        from graph500_bfs_spark.operators.msbfs import (
+            bfs_multi,
+            driver_state_bytes,
+            export_blocks_indexed,
+        )
 
         es = symmetrize(load_edges(), dedup=False).cache()
         m = es.count()
         deg = out_degrees(es).cache()
+        n_total = deg.count()
+        need = driver_state_bytes(n_total, args.roots)
+        if need > args.driver_memory_budget:
+            raise SystemExit(
+                f"msbfs driver state would need ~{need} bytes for "
+                f"{args.roots} roots x {n_total} vertices, over the "
+                f"--driver-memory-budget ({args.driver_memory_budget} bytes). "
+                f"Run `bfs` (the join strategy — nothing driver-resident "
+                f"scales with |V|) or raise the budget."
+            )
         dp = deg.orderBy("v").toPandas()
         dvs = dp["v"].to_numpy(np.int64)
         ddeg = dp["deg"].to_numpy(np.int64)
@@ -117,11 +144,13 @@ def main(argv=None):
         export_blocks_indexed(es, nblocks, args.blocks_dir, dvs)
         roots = sample_roots(deg, args.roots, max_vertex=1 << args.scale)
         res, met = bfs_multi(spark, args.blocks_dir, nblocks, roots,
-                             (dvs, ddeg), m, ship=args.ship)
+                             (dvs, ddeg), m, ship=args.ship, merge=args.merge,
+                             checkpoint_dir=args.checkpoint_dir)
         for r, state in res.items():
             wh.write(f"msbfs_root_{r}", state)
         result.update({
             "roots": [int(r) for r in roots], "ship": args.ship,
+            "merge": args.merge,
             "batch_aggregate_teps": met.teps(),
             "traversed_edges": met.traversed_edges,
             "supersteps": len(met.supersteps),

@@ -279,3 +279,25 @@ def test_search_root_seed_protocol(spark, tmp_path):
     r0 = sample_roots_spec(deg, 9, 2, r1=out["trials"][0]["seed"], r2=out["trials"][0]["seed"])
     r1 = sample_roots_spec(deg, 9, 2, r1=out["trials"][1]["seed"], r2=out["trials"][1]["seed"])
     assert r0 != r1
+
+
+def test_real_benchmark_spec_bundle(spark, monkeypatch):
+    """-R (mpi/main.cc:846-856) is ONE switch: whatever the caller passed,
+    it forces NUM_BFS_ROOTS roots, validation_level=2 (every root
+    five-checked — a bad graph would raise), and the pre-exec warm-up.
+    NUM_BFS_ROOTS is patched small to keep the fixture fast; the forcing
+    reads the module global so the bundle logic under test is unchanged."""
+    from graph500_bfs_spark.operators import graph500 as g5
+
+    monkeypatch.setattr(g5, "NUM_BFS_ROOTS", 4)
+    out = g5.run_graph500_benchmark(
+        spark, scale=7, edgefactor=8,
+        n_roots=1, validation_level=0,  # both must be overridden by -R
+        real_benchmark=True,
+    )
+    assert out["real_benchmark"] is True
+    assert out["n_roots"] == 4
+    assert out["validation_level"] == 2
+    assert len(out["bfs_times_s"]) == 4
+    # level 2 = measured traversals, not the pf_nedge table
+    assert all(n > 0 for n in out["traversed_edges"])
