@@ -231,3 +231,37 @@ def test_bfs_shm_spark_ship_matches_dir_ship(spark, tmp_path):
     a = {(x["v"], x["parent"], x["level"]) for x in st_dir.collect()}
     b = {(x["v"], x["parent"], x["level"]) for x in st_sp.collect()}
     assert a == b
+
+
+def test_blockship_clears_stale_transients_and_stages(tmp_path):
+    """The shared ship channel must clear stale per-step transients from a
+    crashed earlier run at construction (they'd otherwise grow the staging
+    dir / get re-shipped), never touch immutable block files, and remove
+    what it staged on cleanup_step()."""
+    import os
+
+    import numpy as np
+
+    from graph500_bfs_spark.operators._ship import BlockShip
+
+    d = str(tmp_path / "stage")
+    os.makedirs(d)
+    np.save(f"{d}/b0_srcs.npy", np.arange(3))          # immutable block file
+    np.save(f"{d}/vertex_ids.npy", np.arange(3))       # immutable reorder map
+    np.save(f"{d}/bits_s3_deadbeef.npy", np.zeros(1))  # stale transients…
+    np.save(f"{d}/frontier_2.npy", np.zeros(1))
+    np.save(f"{d}/visited_2.npy", np.zeros(1))
+
+    ship = BlockShip(spark=None, blocks_path=d, mode="dir")
+    left = sorted(os.listdir(d))
+    assert left == ["b0_srcs.npy", "vertex_ids.npy"]  # stale transients gone
+
+    p = ship.stage("bits_s0", np.arange(5))
+    assert os.path.exists(p) and os.path.basename(p) == "bits_s0.npy"
+    ship.cleanup_step()
+    assert sorted(os.listdir(d)) == ["b0_srcs.npy", "vertex_ids.npy"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ship mode"):
+        BlockShip(spark=None, blocks_path=d, mode="nfs")
