@@ -29,6 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_symmetrize": gate.q_edges_symmetrize,
         "degree_top100": gate.q_degree_top100,
         "bfs_levels": gate.q_bfs_levels,
+        # round 4: the high-TEPS shared-state strategy itself (cluster-real
+        # ship="spark" + executor-side merge="spark") against the SAME
+        # recursive-SQL oracle — strategy equivalence checked by the driver
+        "bfs_levels_msbfs": gate.q_bfs_levels_msbfs,
         "connected_components_snr": gate.q_connected_components_snr,
         "pagerank10": gate.q_pagerank10,
         "triangle_count": gate.q_triangle_count,

@@ -101,6 +101,44 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("v", "level")
 
 
+def q_bfs_levels_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same traversal as bfs_levels, but through the MULTI-SOURCE
+    shared-state strategy (operators/msbfs.py) in the round-4 fully
+    cluster-real configuration — ship="spark" (CSR blocks + per-step
+    bitmap packs over sc.addFile/SparkFiles, no shared FS) and
+    merge="spark" (executor-side groupBy(r, vi).min(parent) frontier
+    merge, no driver hub).  The gate hash-checks the high-TEPS physical
+    strategy against the SAME recursive-SQL oracle as the join BFS:
+    strategy equivalence under the deterministic min-parent contract,
+    verified by the driver, not only by pytest."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+
+    e0 = lineitem_bipartite_edges(spark, sf_dir)
+    es = symmetrize(e0).cache()
+    m = es.count()
+    dp = out_degrees(es).orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    root = int(e0.agg(F.min("src")).collect()[0][0])
+    path = tempfile.mkdtemp(prefix="gate_msbfs_")
+    try:
+        export_blocks_indexed(es, 8, path, dvs)
+        res, _ = bfs_multi(
+            spark, path, 8, [root], (dvs, ddeg), m, ship="spark", merge="spark"
+        )
+        # result rows are driver-materialized (createDataFrame), so the
+        # staging dir can be removed before the caller collects
+        return res[root].select("v", "level")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_connected_components_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph500_bfs_spark.operators.components import connected_components
     from graph500_bfs_spark.operators.prep import symmetrize
@@ -467,6 +505,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_value") * 1000).cast("long").alias("value_milli"),
     )
 
+
+# the msbfs gate entry shares the join-BFS oracle VERBATIM: identical graph,
+# identical root, identical min-parent level semantics — only the physical
+# strategy differs (strategy equivalence checked by the driver gate)
+ORACLES["bfs_levels_msbfs"] = ORACLES["bfs_levels"]
 
 ORACLES["sessionize"] = """
 WITH marked AS (
