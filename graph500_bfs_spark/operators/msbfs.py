@@ -529,6 +529,7 @@ def bfs_multi(
         metrics.supersteps.append(
             {
                 "superstep": step,
+                "merge": merge,  # where the NQ dedup ran this step
                 "direction": "+".join(sorted({s.guard.direction for s in active})),
                 "frontier_size": int(sum(len(s.fidx) for s in active)),
                 "frontier_edges": int(sum(s.nq_edges for s in active)),
