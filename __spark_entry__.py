@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": gate.q_minhash_lsh_pairs,
         "lsh_topk": gate.q_lsh_topk,
         "ivf_topk": gate.q_ivf_topk,
+        # round 4: same probe over the corpus PARTITIONED BY CENTROID at
+        # rest — only the probed cells are read (partition pruning)
+        "ivf_topk_at_rest": gate.q_ivf_topk_at_rest,
         "kmeans_ivf_topk": gate.q_kmeans_ivf_topk,
         "embedding_near_dup": gate.q_embedding_near_dup,
         "transcript_edges": gate.q_transcript_edges,

@@ -537,6 +537,37 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_read(spark, sf_dir, "embeddings"), k=5, n_queries=10)
 
 
+def q_ivf_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 at-rest IVF layout: the corpus is WRITTEN partitioned by
+    centroid (the 100 TB layout — each coarse cell its own partition dir),
+    then probed with a literal partition predicate so only the probed
+    cells are read (PartitionFilters — asserted by pytest).  Results are
+    identical to the in-memory ivf_topk on the same stub centroids, so it
+    shares that oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from graph500_bfs_spark.operators.similarity import (
+        ivf_topk_at_rest,
+        ivf_write_partitioned,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="gate_ivf_rest_")
+    try:
+        ivf_write_partitioned(emb, path, n_centroids=16)
+        out = ivf_topk_at_rest(
+            spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
+        )
+        # driver-materialize (50 rows) so the temp dir can be removed
+        # before the caller collects
+        return spark.createDataFrame(
+            out.toPandas(), "query_id long, neighbor_id long, rank int"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection over the embeddings table WITH PLANTED DUPLICATES:
     vec_id < 5 are copied verbatim to vec_id + 1_000_000, so the entry must
@@ -926,3 +957,8 @@ reach(v, m) AS (
 )
 SELECT v, MIN(m) AS component FROM reach GROUP BY v"""
 )
+
+# the at-rest IVF gate entry shares the in-memory ivf_topk oracle VERBATIM:
+# same stub centroids, same probe/rerank semantics — only the storage layout
+# (partitioned-by-centroid parquet + partition pruning) differs
+ORACLES["ivf_topk_at_rest"] = ORACLES["ivf_topk"]

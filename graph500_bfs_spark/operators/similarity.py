@@ -348,3 +348,112 @@ def kmeans_centroids(
             .localCheckpoint(eager=True)  # truncate the per-iteration lineage
         )
     return cents
+
+
+def ivf_write_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the corpus PARTITIONED BY CENTROID at rest — the 100 TB
+    IVF layout: each coarse cell is its own partition directory, so a probe
+    touching ``n_probe`` of ``n_centroids`` cells reads only that fraction
+    of the data via Spark's partition pruning (no index structure needed —
+    the layout IS the index).
+
+    Writes ``<path>/corpus`` (vec_id, embedding, centroid=<cell>/...) and
+    ``<path>/centroids`` (the tiny cell table the reader broadcasts), so a
+    reader needs nothing but the path.  Assignment reuses
+    :func:`ivf_assign` (broadcast centroids + map-side-combinable argmax —
+    the corpus never shuffles except the partitionBy write itself).
+    """
+    if centroids is None:
+        centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    (
+        embeddings.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/corpus")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) top-k against a corpus written by
+    :func:`ivf_write_partitioned` — reading ONLY the probed cells.
+
+    The probed-cell set (≤ |Q|·n_probe small integers) is collected and
+    pushed as a LITERAL ``centroid IN (...)`` predicate, which Spark
+    resolves at planning time against the partition directories
+    (``PartitionFilters`` in the scan — asserted by test): unprobed cells
+    are never opened.  Rerank is exact cosine within the probed cells —
+    identical results to :func:`ivf_topk` on the same centroids (gate
+    hash-checked against the same SQL oracle).
+
+    ``queries``: (vec_id, embedding) — normally external at 100 TB; query
+    ids present in the corpus are excluded from their own neighbor lists
+    as in :func:`ivf_topk`.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    qprobe = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid",
+            (_dot(F.col("qvec"), F.col("cvec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid"))
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qvec", "centroid")
+    )
+    # literal partition predicate: planning-time pruning, unprobed cells
+    # are never opened (the probed set is tiny — ≤ |Q|·n_probe ints)
+    cells = sorted({int(r["centroid"]) for r in qprobe.select("centroid").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("centroid").isin(cells))
+        .select(
+            F.col("vec_id"),
+            F.col("centroid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
+    )
+    scored = (
+        qprobe.join(corpus, "centroid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qvec"), F.col("vec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -339,3 +339,42 @@ def test_kmeans_ivf_production_path(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, f"IVF k-means recall too low: {recall}"
+
+
+def test_ivf_at_rest_prunes_partitions_and_matches_ivf_topk(spark, tmp_path):
+    """Round-4 at-rest IVF layout: the corpus partitioned by centroid on
+    disk, probe reads ONLY the probed cells (PartitionFilters in the scan —
+    the layout IS the index), and results are identical to the in-memory
+    ivf_topk on the same centroids."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_at_rest,
+        ivf_write_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    path = str(tmp_path / "ivf")
+    ivf_write_partitioned(emb, path, n_centroids=16)
+
+    import os
+
+    cells_on_disk = {d for d in os.listdir(f"{path}/corpus") if d.startswith("centroid=")}
+    assert len(cells_on_disk) > 4, "fixture degenerate: probe would read everything"
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_topk_at_rest(spark, path, queries, k=5, n_probe=4)
+    want = ivf_topk(emb, k=5, n_queries=10, n_centroids=16, n_probe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the corpus scan must carry a partition-pruning predicate on centroid:
+    # build the pruned corpus scan exactly as ivf_topk_at_rest does and
+    # check the physical plan reads fewer partitions than exist
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    import re
+
+    # no scan in the plan may read ALL centroid partitions
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid" in f for f in m), plan[:2000]
