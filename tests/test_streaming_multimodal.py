@@ -123,3 +123,72 @@ def test_multimodal_pipeline(spark):
 
     resized = decode_metadata(resize_images(media, 32, 24)).collect()
     assert all(r["width"] == 32 and r["height"] == 24 for r in resized)
+
+
+def test_stream_derive_edges_equals_batch_across_microbatches(spark, tmp_path):
+    """Round-4 incremental edge derivation: each conversation's turns are
+    SPLIT across two parquet files fed one per micro-batch, so the
+    cross-batch adjacency link (the stateful lag boundary) is actually
+    exercised; the union of emitted edges must equal the batch deriver's
+    output as a MULTISET (adjacency/tool edges repeat by design)."""
+    import collections
+    import os
+    import time
+
+    from graph500_bfs_spark.sources.edges import derive_edges
+    from graph500_bfs_spark.sources.transcripts import synthesize_transcripts
+    from graph500_bfs_spark.streaming.edges import (
+        derive_edges_stream,
+        read_transcript_stream,
+    )
+
+    tr = synthesize_transcripts(spark, n_convs=40, seed=11).cache()
+    src = str(tmp_path / "tr_src")
+    os.makedirs(src)
+    # chunk 1: every conv's turns below its midpoint; chunk 2: the rest —
+    # both chunks contain rows of EVERY conv, so every conv has a boundary
+    mid = tr.groupBy("conv_id").agg((F.max("turn_idx") / 2).alias("mid"))
+    t2 = tr.join(mid, "conv_id")
+    t2.filter(F.col("turn_idx") <= F.col("mid")).drop("mid").coalesce(1).write.parquet(
+        f"{src}/c1"
+    )
+    time.sleep(1.1)  # file-source orders by modification time
+    t2.filter(F.col("turn_idx") > F.col("mid")).drop("mid").coalesce(1).write.parquet(
+        f"{src}/c2"
+    )
+
+    stream = read_transcript_stream(spark, f"{src}/*")
+    q = (
+        derive_edges_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stream_edges")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the state-timeout clock keeps availableNow ticking empty batches after
+    # the files drain, so wait for QUIESCENCE (row count stable) not
+    # termination, then stop the query cleanly
+    deadline = time.time() + 150
+    last, stable_since = -1, time.time()
+    while time.time() < deadline:
+        if q.awaitTermination(5):
+            break
+        n = spark.sql("select count(*) from stream_edges").collect()[0][0]
+        if n != last:
+            last, stable_since = n, time.time()
+        elif n > 0 and time.time() - stable_since > 10:
+            break
+    # more than one micro-batch actually ran (the boundary was exercised)
+    assert len(q.recentProgress) > 1
+    q.stop()
+
+    got = collections.Counter(
+        (r["src"], r["dst"], r["kind"])
+        for r in spark.sql("select * from stream_edges").collect()
+    )
+    want = collections.Counter(
+        (r["src"], r["dst"], r["kind"]) for r in derive_edges(tr).collect()
+    )
+    assert got == want
