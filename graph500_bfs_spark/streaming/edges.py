@@ -149,3 +149,30 @@ def derive_edges_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def drain_available(query, timeout_s: int = 600, quiet_s: int = 10) -> bool:
+    """Run an ``availableNow`` query until it terminates OR goes quiescent.
+
+    A query with processing-time state timeouts can keep ticking empty
+    micro-batches after the available data drains, so "terminated" is not
+    a reliable done-signal: this waits until either self-termination
+    (returns True) or no batch has consumed input rows for ``quiet_s``
+    seconds (stops the query, returns False).  The ingest-CLI and test
+    companion to :func:`derive_edges_stream`.
+    """
+    import time
+
+    deadline = time.time() + timeout_s
+    last_total, quiet_start = None, time.time()
+    while time.time() < deadline:
+        if query.awaitTermination(2):
+            return True
+        prog = query.recentProgress
+        total = sum(int(p["numInputRows"]) for p in prog) if prog else 0
+        if total != last_total:
+            last_total, quiet_start = total, time.time()
+        elif time.time() - quiet_start > quiet_s:
+            break
+    query.stop()
+    return False

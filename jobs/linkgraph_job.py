@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--real-benchmark", action="store_true",
                    help="Graph500 -R spec bundle: forces 64 roots, "
                         "validation level 2, and a pre-exec warm-up")
+    p.add_argument("--stream", action="store_true",
+                   help="derive-edges only: incremental (availableNow) "
+                        "derivation of new transcript files into "
+                        "<warehouse>/edges_stream, resumable via the "
+                        "streaming checkpoint")
     p.add_argument("--ship", choices=("dir", "spark"), default="spark",
                    help="msbfs CSR/bitmap channel: 'spark' = sc.addFile/SparkFiles "
                         "(cluster-real, no shared FS); 'dir' = shared directory")
@@ -93,13 +98,39 @@ def main(argv=None):
     result = {"algo": args.algo}
 
     if args.algo == "derive-edges":
-        from graph500_bfs_spark.sources.edges import derive_edges, derive_vertices
+        if args.stream:
+            # incremental ingest: derive edges only for NEW transcript files
+            # (streaming/edges.py — per-conversation state, stream ≡ batch);
+            # re-running with the same checkpoint dir processes only files
+            # added since the last run
+            import os
 
-        t = spark.read.parquet(args.transcripts)
-        e = derive_edges(t)
-        wh.write("edges", e)
-        wh.write("vertices", derive_vertices(t))
-        result["n_edges"] = wh.read("edges").count()
+            from graph500_bfs_spark.streaming.edges import (
+                derive_edges_stream,
+                drain_available,
+                read_transcript_stream,
+            )
+
+            out_path = os.path.join(args.warehouse, "edges_stream")
+            ck = args.checkpoint_dir or os.path.join(args.warehouse, "_edges_stream_ck")
+            q = (
+                derive_edges_stream(read_transcript_stream(spark, args.transcripts))
+                .writeStream.format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            result["stream_self_terminated"] = drain_available(q)
+            result["n_edges"] = spark.read.parquet(out_path).count()
+        else:
+            from graph500_bfs_spark.sources.edges import derive_edges, derive_vertices
+
+            t = spark.read.parquet(args.transcripts)
+            e = derive_edges(t)
+            wh.write("edges", e)
+            wh.write("vertices", derive_vertices(t))
+            result["n_edges"] = wh.read("edges").count()
     elif args.algo == "graph500":
         from graph500_bfs_spark.operators.graph500 import run_graph500_benchmark
 

@@ -168,21 +168,12 @@ def test_stream_derive_edges_equals_batch_across_microbatches(spark, tmp_path):
         .start()
     )
     # the state-timeout clock keeps availableNow ticking empty batches after
-    # the files drain, so wait for QUIESCENCE (row count stable) not
-    # termination, then stop the query cleanly
-    deadline = time.time() + 150
-    last, stable_since = -1, time.time()
-    while time.time() < deadline:
-        if q.awaitTermination(5):
-            break
-        n = spark.sql("select count(*) from stream_edges").collect()[0][0]
-        if n != last:
-            last, stable_since = n, time.time()
-        elif n > 0 and time.time() - stable_since > 10:
-            break
+    # the files drain — drain_available waits for quiescence, then stops
+    from graph500_bfs_spark.streaming.edges import drain_available
+
+    drain_available(q, timeout_s=150)
     # more than one micro-batch actually ran (the boundary was exercised)
     assert len(q.recentProgress) > 1
-    q.stop()
 
     got = collections.Counter(
         (r["src"], r["dst"], r["kind"])
