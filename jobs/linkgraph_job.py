@@ -122,7 +122,25 @@ def main(argv=None):
                 .start()
             )
             result["stream_self_terminated"] = drain_available(q)
-            result["n_edges"] = spark.read.parquet(out_path).count()
+            # observed drop counts (late/duplicate turns) from the last batch
+            # that reported them — the streaming analog of dedup cap_stats
+            dropped = 0
+            for prog in q.recentProgress:
+                om = (prog or {}).get("observedMetrics") or {}
+                if "edge_deriver" in om:
+                    dropped += int(om["edge_deriver"].get("dropped_turns") or 0)
+            result["dropped_turns"] = dropped
+            # a no-op ingest (no new files) emits nothing: an empty/missing
+            # output dir has no inferable schema, so read with the explicit
+            # edge schema and report 0 rather than crash after success
+            from graph500_bfs_spark.streaming.edges import EDGE_SCHEMA
+
+            if os.path.isdir(out_path):
+                result["n_edges"] = (
+                    spark.read.schema(EDGE_SCHEMA).parquet(out_path).count()
+                )
+            else:
+                result["n_edges"] = 0
         else:
             from graph500_bfs_spark.sources.edges import derive_edges, derive_vertices
 

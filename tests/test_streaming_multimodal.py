@@ -157,13 +157,15 @@ def test_stream_derive_edges_equals_batch_across_microbatches(spark, tmp_path):
         f"{src}/c2"
     )
 
-    stream = read_transcript_stream(spark, f"{src}/*")
+    # maxFilesPerTrigger is a SOURCE option (readStream): set on writeStream
+    # it is ignored and both files land in one micro-batch, never exercising
+    # the cross-batch state boundary this test exists for
+    stream = read_transcript_stream(spark, f"{src}/*", {"maxFilesPerTrigger": "1"})
     q = (
         derive_edges_stream(stream)
         .writeStream.format("memory")
         .queryName("stream_edges")
         .outputMode("append")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -172,8 +174,10 @@ def test_stream_derive_edges_equals_batch_across_microbatches(spark, tmp_path):
     from graph500_bfs_spark.streaming.edges import drain_available
 
     drain_available(q, timeout_s=150)
-    # more than one micro-batch actually ran (the boundary was exercised)
-    assert len(q.recentProgress) > 1
+    # at least two micro-batches CONSUMED INPUT (not just empty timeout
+    # ticks) — the cross-batch boundary was genuinely exercised
+    fed = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+    assert len(fed) >= 2
 
     got = collections.Counter(
         (r["src"], r["dst"], r["kind"])
@@ -183,3 +187,108 @@ def test_stream_derive_edges_equals_batch_across_microbatches(spark, tmp_path):
         (r["src"], r["dst"], r["kind"]) for r in derive_edges(tr).collect()
     )
     assert got == want
+
+
+def test_stream_derive_edges_counts_dropped_turns(spark, tmp_path):
+    """Round-5: late/duplicate turns are dropped AND counted — the drop
+    total must surface in observedMetrics['edge_deriver'].dropped_turns
+    (VERDICT r4 'what's wrong #3': silent data loss on out-of-order
+    delivery is the classic pipeline wound)."""
+    import os
+    import time
+
+    from graph500_bfs_spark.sources.edges import derive_edges
+    from graph500_bfs_spark.sources.transcripts import synthesize_transcripts
+    from graph500_bfs_spark.streaming.edges import (
+        derive_edges_stream,
+        drain_available,
+        read_transcript_stream,
+    )
+
+    tr = synthesize_transcripts(spark, n_convs=20, seed=23).cache()
+    src = str(tmp_path / "tr_dup")
+    os.makedirs(src)
+    lo = tr.filter(F.col("turn_idx") <= 1)
+    lo.coalesce(1).write.parquet(f"{src}/c1")
+    time.sleep(1.1)
+    # chunk 2 REPLAYS chunk 1's turns (duplicates) plus the remainder —
+    # every duplicate must be dropped and counted, the answer unchanged
+    tr.coalesce(1).write.parquet(f"{src}/c2")
+    n_dup = lo.count()
+
+    stream = read_transcript_stream(spark, f"{src}/*", {"maxFilesPerTrigger": "1"})
+    q = (
+        derive_edges_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dup_edges")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available(q, timeout_s=150)
+
+    import collections
+
+    got = collections.Counter(
+        (r["src"], r["dst"], r["kind"])
+        for r in spark.sql("select * from dup_edges").collect()
+    )
+    want = collections.Counter(
+        (r["src"], r["dst"], r["kind"]) for r in derive_edges(tr).collect()
+    )
+    assert got == want  # duplicates changed nothing...
+    # sum() over a batch with no rows reports null — treat as 0 dropped
+    dropped = sum(
+        int(p["observedMetrics"]["edge_deriver"]["dropped_turns"] or 0)
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("edge_deriver")
+    )
+    assert dropped == n_dup  # ...and every one of them was counted
+
+
+def test_stream_derive_edges_replay_speed_invariant(spark, tmp_path):
+    """Round-5: eviction is event-time (watermark), so replay pacing —
+    all files in ONE trigger vs one-per-trigger — cannot change the edge
+    multiset (a processing-time TTL breaks exactly this invariant when
+    replay stalls past the TTL)."""
+    import collections
+    import os
+    import time
+
+    from graph500_bfs_spark.sources.transcripts import synthesize_transcripts
+    from graph500_bfs_spark.streaming.edges import (
+        derive_edges_stream,
+        drain_available,
+        read_transcript_stream,
+    )
+
+    tr = synthesize_transcripts(spark, n_convs=30, seed=37).cache()
+    src = str(tmp_path / "tr_replay")
+    os.makedirs(src)
+    mid = tr.groupBy("conv_id").agg((F.max("turn_idx") / 2).alias("mid"))
+    t2 = tr.join(mid, "conv_id")
+    t2.filter(F.col("turn_idx") <= F.col("mid")).drop("mid").coalesce(1).write.parquet(
+        f"{src}/c1"
+    )
+    time.sleep(1.1)
+    t2.filter(F.col("turn_idx") > F.col("mid")).drop("mid").coalesce(1).write.parquet(
+        f"{src}/c2"
+    )
+
+    results = {}
+    for tag, opts in (("paced", {"maxFilesPerTrigger": "1"}), ("burst", None)):
+        stream = read_transcript_stream(spark, f"{src}/*", opts)
+        q = (
+            derive_edges_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"replay_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available(q, timeout_s=150)
+        results[tag] = collections.Counter(
+            (r["src"], r["dst"], r["kind"])
+            for r in spark.sql(f"select * from replay_{tag}").collect()
+        )
+    assert results["paced"] == results["burst"]
