@@ -72,19 +72,22 @@ def run(sf_dir: str, master: str | None = None) -> dict:
         dp = deg.orderBy("v").toPandas()
         dvs = dp["v"].to_numpy(np.int64)
         ddeg = dp["deg"].to_numpy(np.int64)
-        # ship="dir" here: the per-round bench is a SINGLE-NODE number kept
-        # comparable across rounds.  The cluster-real channel (ship="spark",
-        # sc.addFile/SparkFiles — bit-identical results, no shared-FS
-        # assumption) is benchmarked separately at scale 22 where its
-        # overhead is nil: BENCH/scaling_msspark_s22_r32_1v4.json, eff 0.811.
-        # At this leg's scale-18 per-root runs the addFile fixed cost per
-        # superstep costs ~15%, measured and documented in BENCH/BASELINE.md.
+        # ship="dir" + merge="driver" here: the per-round bench is a
+        # SINGLE-NODE number kept comparable across rounds (merge="driver"
+        # was the implicit default through round 4; round 5 made "adaptive"
+        # the shipping default, which flips peak supersteps to the executor
+        # merge — correct at cluster scale, a measured toll at scale 18 on
+        # one node).  The cluster-real channel (ship="spark", sc.addFile/
+        # SparkFiles — bit-identical results, no shared-FS assumption) is
+        # benchmarked separately at scale 22 where its overhead is nil:
+        # BENCH/scaling_msspark_s22_r32_1v4.json eff 0.811; the adaptive
+        # merge's own scaling point is BENCH/scaling_msadaptive_s22_*.json.
         shm = "/dev/shm/g5_bench"
         shutil.rmtree(shm, ignore_errors=True)
         export_blocks_indexed(es, 32, shm, dvs)
         roots = sample_roots_spec(deg, scale, 16)  # TEST_BFS_ROOTS, parameters.h:89
-        _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m)  # warm
-        _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m)
+        _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m, merge="driver")  # warm
+        _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m, merge="driver")
         # multi-source BATCH-AGGREGATE throughput (Σ traversed edges over
         # concurrent roots / shared wall): NOT spec-comparable to per-root
         # Graph500 TEPS — named accordingly
@@ -94,7 +97,7 @@ def run(sf_dir: str, master: str | None = None) -> dict:
         # TEPS with Norris stddev (reference logfile.h protocol)
         times, nedges = [], []
         for r in roots:
-            _, met1 = bfs_multi(spark, shm, 32, [r], (dvs, ddeg), m)
+            _, met1 = bfs_multi(spark, shm, 32, [r], (dvs, ddeg), m, merge="driver")
             times.append(met1.total_time_s)
             nedges.append(met1.traversed_edges)
         st = teps_stats(nedges, times)

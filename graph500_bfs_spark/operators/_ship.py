@@ -21,6 +21,15 @@ Transient per-step files carry a unique run tag (re-adding a CHANGED file
 under the same name is an error in Spark) and are deleted from the staging
 dir at the end of each step; stale transients from a crashed earlier run
 are cleared at construction.
+
+Immutable block files carry a per-EXPORT tag too (``export_tag.txt`` in
+the staging dir, hardlinked as ``{tag}__{name}`` for addFile): Spark's
+file server keys on basename for the life of the application, so two
+``ship="spark"`` runs over DIFFERENT graphs in one session (e.g. two
+``bfs_roots`` calls, each with a fresh tempdir) would otherwise collide
+on ``b0_srcs.npy`` with different contents and fail mid-job.  The tag
+makes every export's registration namespace-unique; workers resolve
+through :func:`resolver` with the same tag.
 """
 
 from __future__ import annotations
@@ -32,22 +41,30 @@ import numpy as np
 from pyspark.sql import SparkSession
 
 #: filename prefixes of per-step transient arrays (never addFile'd at init,
-#: cleared from the staging dir on construction)
+#: cleared from the staging dir on construction; already run-tagged, so
+#: they are NOT export-tag-prefixed by the resolver)
 TRANSIENT_PREFIXES = ("bits_", "frontier_", "visited_")
 
+TAG_FILE = "export_tag.txt"
 
-def resolver(mode: str):
+
+def resolver(mode: str, export_tag: str = ""):
     """Worker-side path resolve function for the given ship mode.
 
     Returned callable is pickled into mapInArrow closures; under
-    ``"spark"`` it resolves through the executor's SparkFiles cache.
+    ``"spark"`` it resolves through the executor's SparkFiles cache,
+    prefixing IMMUTABLE block basenames with the export tag they were
+    registered under (transients are run-tagged at stage() time instead).
     """
     if mode == "spark":
 
-        def rp(path: str) -> str:
+        def rp(path: str, _tag=export_tag) -> str:
             from pyspark import SparkFiles
 
-            return SparkFiles.get(os.path.basename(path))
+            base = os.path.basename(path)
+            if _tag and not base.startswith(TRANSIENT_PREFIXES):
+                base = f"{_tag}__{base}"
+            return SparkFiles.get(base)
 
     else:
 
@@ -68,6 +85,7 @@ class BlockShip:
         self.blocks_path = blocks_path
         self.mode = mode
         self.run_tag = uuid.uuid4().hex[:8]
+        self.export_tag = ""
         self._staged: list[str] = []
         for fn in os.listdir(blocks_path):
             if fn.startswith(TRANSIENT_PREFIXES):
@@ -76,18 +94,37 @@ class BlockShip:
                 except OSError:
                     pass
         if mode == "spark":
+            # per-export tag: minted once per staging dir, persisted next
+            # to the blocks so re-entry of the SAME export reuses the same
+            # registrations (idempotent) while a different export in the
+            # same application registers under fresh basenames
+            tag_path = os.path.join(blocks_path, TAG_FILE)
+            if os.path.exists(tag_path):
+                with open(tag_path) as f:
+                    self.export_tag = f.read().strip()
+            else:
+                self.export_tag = uuid.uuid4().hex[:8]
+                with open(tag_path, "w") as f:
+                    f.write(self.export_tag)
             sc = spark.sparkContext
             for fn in sorted(os.listdir(blocks_path)):
                 # ONLY the immutable CSR block files (b{b}_*.npy + the
                 # reorder map) — transients were just cleared above
+                if "__" in fn:
+                    continue  # an already-tagged hardlink from a prior entry
                 if fn == "vertex_ids.npy" or (
                     fn.startswith("b")
                     and not fn.startswith(TRANSIENT_PREFIXES)
                     and fn.endswith(".npy")
                 ):
-                    # idempotent for unchanged files (re-registration of
-                    # the same path is a warning, not an error)
-                    sc.addFile(os.path.join(blocks_path, fn))
+                    # hardlink (no data copy) under the tagged basename;
+                    # re-registration of the same path is a warning only
+                    tagged = os.path.join(
+                        blocks_path, f"{self.export_tag}__{fn}"
+                    )
+                    if not os.path.exists(tagged):
+                        os.link(os.path.join(blocks_path, fn), tagged)
+                    sc.addFile(tagged)
 
     def stage(self, name_base: str, array: np.ndarray) -> str:
         """Write a per-step transient array and make it worker-resolvable;

@@ -146,10 +146,11 @@ def bfs_shm(
         d = direction
         path = blocks_path
 
-        def probe(batches, _fp=f_path, _vp=v_path, _d=d, _p=path, _ship=ship):
+        def probe(batches, _fp=f_path, _vp=v_path, _d=d, _p=path, _ship=ship,
+                  _tag=shipper.export_tag):
             from graph500_bfs_spark.operators._ship import resolver
 
-            rp = resolver(_ship)
+            rp = resolver(_ship, _tag)
             fr = np.load(rp(_fp), mmap_mode="r")
             vis = np.load(rp(_vp), mmap_mode="r")
             for batch in batches:

@@ -217,7 +217,8 @@ def bfs_multi(
     beta: float = DEFAULT_BETA,
     max_levels: int = 1000,
     ship: str = "dir",
-    merge: str = "driver",
+    merge: str = "adaptive",
+    adaptive_merge_bytes: int = 256 << 20,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 4,
     interrupt_at_step: int | None = None,
@@ -251,6 +252,19 @@ def bfs_multi(
       the frontier, not the graph, and the driver stops being the merge
       hub.  Results are bit-identical to ``"driver"`` (same min contract) —
       tested.
+    * ``"adaptive"`` (default) — pick per SUPERSTEP from the exact
+      counters the driver already holds BEFORE launching the probe (the
+      same counter-driven style as the broadcast gates in bfs.py): the
+      candidate volume is bounded by Σ nq_edges over top-down roots plus
+      Σ unvisited over bottom-up roots (each bottom-up row yields ≤1
+      candidate), ×20 bytes/row.  Below ``adaptive_merge_bytes`` (default 256 MiB — what a
+      driver comfortably absorbs per step as one Arrow collect) the
+      driver merge wins (no shuffle stage — the steps where the executor
+      merge's fixed shuffle cost is pure toll, which is MOST steps of a
+      power-law BFS); above it the executor merge keeps the duplicated
+      candidate set off the driver.  Per-step choice is recorded in
+      ``metrics.supersteps[i]["merge"]``.  Both modes honor the same min
+      contract, so the flip never changes the answer (tested).
 
     Driver-resident state (both merge modes) is the per-root visited
     bitmaps + shipped bitmap packs + accumulated result id lists — see
@@ -292,7 +306,7 @@ def bfs_multi(
     nbytes = (n_total + 7) // 8
     metrics = BfsMetrics()
     t0 = time.perf_counter()
-    if merge not in ("driver", "spark"):
+    if merge not in ("driver", "spark", "adaptive"):
         raise ValueError(f"unknown merge mode {merge!r}")
     # ONE shipping implementation for all CSR strategies (operators/_ship.py):
     # registers the immutable block files, clears stale transients, and
@@ -317,6 +331,7 @@ def bfs_multi(
             self.guard = DirectionGuard(n_total, m_edges, alpha, beta)
             self.nq_edges = int(ddeg[pos])
             self.vis = [ridx]  # per-level dense indices
+            self.n_reached = 1  # running Σ len(vis) — adaptive-merge counter
             self.parents = [np.array([root], dtype=np.int64)]
             self.levels = [0]
             self.done = False
@@ -341,6 +356,7 @@ def bfs_multi(
                 vis_flat = np.asarray(z[f"r{s.rid}_vis"], dtype=np.int64)
                 par_flat = np.asarray(z[f"r{s.rid}_par"], dtype=np.int64)
                 s.vis = [vis_flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+                s.n_reached = int(len(vis_flat))
                 s.parents = [par_flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
                 s.levels = list(d["levels"])
                 s.fidx = np.asarray(z[f"r{s.rid}_fidx"], dtype=np.int64)
@@ -364,6 +380,19 @@ def bfs_multi(
         for s in active:
             s.guard.step(len(s.fidx), s.nq_edges)
 
+        if merge == "adaptive":
+            # exact pre-probe candidate bound: top-down emits ≤ nq_edges
+            # rows per root, bottom-up ≤ 1 row per unvisited vertex
+            est_rows = sum(
+                min(s.nq_edges, n_total)
+                if s.guard.direction == "top_down"
+                else n_total - s.n_reached
+                for s in active
+            )
+            step_merge = "spark" if est_rows * 20 > adaptive_merge_bytes else "driver"
+        else:
+            step_merge = merge
+
         # ship ALL active roots' frontier+visited bitmaps as ONE mmap'd file:
         # slot a holds [fbit, vbit] of the a-th active root
         bits = np.zeros((len(active), 2, nbytes), dtype=np.uint8)
@@ -375,10 +404,11 @@ def bfs_multi(
         bits_file = shipper.stage(f"bits_s{step}", bits)
         t_ship = time.perf_counter()
 
-        def probe(batches, _m=tuple(manifest), _p=blocks_path, _bf=bits_file, _ship=ship):
+        def probe(batches, _m=tuple(manifest), _p=blocks_path, _bf=bits_file,
+                  _ship=ship, _tag=shipper.export_tag):
             from graph500_bfs_spark.operators._ship import resolver
 
-            rp = resolver(_ship)
+            rp = resolver(_ship, _tag)
             allbits = np.load(rp(_bf), mmap_mode="r")
             for batch in batches:
                 for bid in batch.column(0).to_numpy(zero_copy_only=False):
@@ -432,7 +462,7 @@ def bfs_multi(
 
         t_job0 = time.perf_counter()
         cand = base.mapInArrow(probe, "r int, vi long, parent long")
-        if merge == "spark":
+        if step_merge == "spark":
             # executor-side frontier merge: partial min combines map-side,
             # the exchange carries candidate winners keyed by (root, vertex),
             # and the driver collects ONLY final winners — the per-rank NQ
@@ -440,7 +470,7 @@ def bfs_multi(
             cand = cand.groupBy("r", "vi").agg(F.min("parent").alias("parent"))
         tbl = cand.toArrow()
         t_job = time.perf_counter() - t_job0
-        if merge == "spark" and tbl.num_rows:
+        if step_merge == "spark" and tbl.num_rows:
             # winners arrive hash-partition-ordered; ONE vectorized stable
             # sort by root re-blocks them into a single slice per root for
             # the change-point split below
@@ -521,6 +551,7 @@ def bfs_multi(
             s.levels.append(s.supersteps + 1)
             _bit_set(s.vbit, idx)
             s.fidx = idx
+            s.n_reached += len(idx)
             s.nq_edges = int(ddeg[idx].sum())
             s.supersteps += 1
 
@@ -529,7 +560,7 @@ def bfs_multi(
         metrics.supersteps.append(
             {
                 "superstep": step,
-                "merge": merge,  # where the NQ dedup ran this step
+                "merge": step_merge,  # where the NQ dedup ran this step
                 "direction": "+".join(sorted({s.guard.direction for s in active})),
                 "frontier_size": int(sum(len(s.fidx) for s in active)),
                 "frontier_edges": int(sum(s.nq_edges for s in active)),
@@ -570,30 +601,57 @@ def bfs_multi(
 
 
 def driver_state_bytes(
-    n_vertices: int, n_roots: int, reached_per_root: int | None = None
+    n_vertices: int,
+    n_roots: int,
+    reached_per_root: int | None = None,
+    merge: str = "adaptive",
+    edgefactor: int = 16,
+    adaptive_merge_bytes: int = 256 << 20,
 ) -> int:
     """Peak driver-resident bytes for :func:`bfs_multi` — the documented
     budget formula behind :func:`bfs_roots`'s strategy flip.
 
-    Three driver-held pieces (the reference distributes the analogous state
+    Five driver-held pieces (the reference distributes the analogous state
     per rank, /root/reference/mpi/bfs.hpp:634-696 — this formula is what
     bounds how far the shared-state MS-BFS design stretches):
 
-    * per-root visited bitmaps:           R × ⌈n/8⌉
+    * dense degree map (dvs + ddeg,
+      two int64 arrays, shared by all roots): 16 × n
+    * per-root visited bitmaps:               R × ⌈n/8⌉
     * per-step shipped bitmap pack
-      ([fbit, vbit] per active root):     2R × ⌈n/8⌉
+      ([fbit, vbit] per active root):         2R × ⌈n/8⌉
     * accumulated (vi, parent, level)
-      result lists:                       R × reached × (8+8+4) bytes
+      result lists:                           R × reached × (8+8+4) bytes
+    * transient per-step Arrow collect peak, by ``merge`` mode:
+      - ``"driver"``: the driver receives the full CANDIDATE set — up to
+        reached × edgefactor block-deduped rows per root at the peak
+        level (this is WHY plain driver merge does not scale: the term is
+        O(edges touched), the verdict's 2.6×-toll finding made formula);
+      - ``"spark"``: winners only, ≤ R × reached × 20;
+      - ``"adaptive"`` (default): the driver collect is capped — steps
+        whose candidate bound exceeds ``adaptive_merge_bytes`` flip to
+        the executor merge, so the peak is
+        min(candidates, max(adaptive_merge_bytes, winners)).
 
     ``reached_per_root`` defaults to n (every vertex reached — the Graph500
-    giant-component worst case).  At scale 26 with 64 roots this is
-    ~1.5 GB of bitmaps + ~84 GB of id lists → far past any driver; the
-    join BFS (operators/bfs.py), whose state is a DataFrame, is the
-    beyond-budget strategy.
+    giant-component worst case).  At scale 26 with 64 roots the result
+    lists alone are ~84 GB → far past any driver; the join BFS
+    (operators/bfs.py), whose state is a DataFrame, is the beyond-budget
+    strategy.
     """
     nbytes = (n_vertices + 7) // 8
     reached = n_vertices if reached_per_root is None else reached_per_root
-    return 3 * n_roots * nbytes + n_roots * reached * 20
+    winners_step = n_roots * reached * 20
+    candidates_step = n_roots * reached * edgefactor * 20
+    if merge == "driver":
+        transient = candidates_step
+    elif merge == "spark":
+        transient = winners_step
+    else:  # adaptive: executor merge kicks in past the byte threshold, so
+        # the driver collect peaks at the threshold or the winners volume,
+        # whichever is larger — and never above the all-driver bound
+        transient = min(candidates_step, max(adaptive_merge_bytes, winners_step))
+    return 16 * n_vertices + 3 * n_roots * nbytes + n_roots * reached * 20 + transient
 
 
 def bfs_roots(
@@ -628,7 +686,13 @@ def bfs_roots(
 
     from graph500_bfs_spark.operators.bfs import bfs as join_bfs
 
-    need = driver_state_bytes(n_vertices, len(roots))
+    need = driver_state_bytes(
+        n_vertices, len(roots),
+        merge=bfs_multi_kwargs.get("merge", "adaptive"),
+        adaptive_merge_bytes=bfs_multi_kwargs.get(
+            "adaptive_merge_bytes", 256 << 20
+        ),
+    )
     if need <= driver_memory_budget:
         dp = degrees.orderBy("v").toPandas()
         dvs = dp["v"].to_numpy(np.int64)

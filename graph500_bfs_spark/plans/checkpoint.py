@@ -118,10 +118,15 @@ class ProtocolLog:
                     if row.get("kind") == "root":
                         self.completed[int(row["i"])] = row
                 # rewrite the file without the torn tail so later appends
-                # don't concatenate onto a half-line
-                with open(path, "w") as f:
+                # don't concatenate onto a half-line — via tmp + atomic
+                # rename: an in-place open(path, "w") truncates first, so
+                # a kill during the rewrite would destroy every completed
+                # record (the exact loss this log exists to prevent)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
                     for row in lines:
                         f.write(json.dumps(row) + "\n")
+                os.replace(tmp, path)
             else:
                 os.unlink(path)  # stale header → restart from scratch
         if not os.path.exists(path):

@@ -59,11 +59,14 @@ def main(argv=None):
     p.add_argument("--ship", choices=("dir", "spark"), default="spark",
                    help="msbfs CSR/bitmap channel: 'spark' = sc.addFile/SparkFiles "
                         "(cluster-real, no shared FS); 'dir' = shared directory")
-    p.add_argument("--merge", choices=("driver", "spark"), default="spark",
-                   help="msbfs frontier merge: 'spark' = executor-side "
-                        "groupBy(r,vi).min(parent), driver collects only final "
-                        "winners (cluster default); 'driver' = driver-side numpy "
-                        "merge (fastest single-node, no shuffle stage)")
+    p.add_argument("--merge", choices=("driver", "spark", "adaptive"),
+                   default="adaptive",
+                   help="msbfs frontier merge: 'adaptive' (default) picks per "
+                        "superstep from the exact pre-probe candidate bound -- "
+                        "driver-side numpy merge below the byte threshold (no "
+                        "shuffle stage), executor-side groupBy(r,vi).min(parent) "
+                        "above it (driver collects only final winners); "
+                        "'driver'/'spark' force one mode")
     p.add_argument("--blocks-dir", default="/tmp/g5_blocks",
                    help="msbfs CSR staging dir (driver-local under --ship spark)")
     p.add_argument("--driver-memory-budget", type=int, default=8 << 30,
@@ -176,7 +179,7 @@ def main(argv=None):
         m = es.count()
         deg = out_degrees(es).cache()
         n_total = deg.count()
-        need = driver_state_bytes(n_total, args.roots)
+        need = driver_state_bytes(n_total, args.roots, merge=args.merge)
         if need > args.driver_memory_budget:
             raise SystemExit(
                 f"msbfs driver state would need ~{need} bytes for "

@@ -92,9 +92,23 @@ def aggregate(paths: list[str]) -> dict:
     n_roots = int(header0.get("n_roots", len(merged)))
     idx = sorted(merged)
     times = [float(merged[i]["time_s"]) for i in idx]
-    nedges = [
-        int(merged[i].get("traversed_edges") or PF_NEDGE.get(scale, 0)) for i in idx
-    ]
+    # per-root traversed-edge counts: prefer the recorded value (test None
+    # explicitly — a legitimately recorded 0 must stay 0, not fall through);
+    # fall back to the spec pf_nedge table only when the scale has an entry.
+    # Silently substituting 0 would put a 1/0 reciprocal into the
+    # harmonic-mean TEPS and corrupt the whole summary.
+    nedges = []
+    for i in idx:
+        te = merged[i].get("traversed_edges")
+        if te is None:
+            if scale not in PF_NEDGE:
+                raise ValueError(
+                    f"root index {i} has no traversed_edges and scale "
+                    f"{scale} is not in the pf_nedge table — cannot "
+                    f"compute TEPS for this protocol"
+                )
+            te = PF_NEDGE[scale]
+        nedges.append(int(te))
     if not times:
         raise ValueError("no completed roots in any log")
     stats = teps_stats(nedges, times)

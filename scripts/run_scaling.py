@@ -15,6 +15,9 @@ Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode]
         | msmerge (msspark + EXECUTOR-SIDE frontier merge, merge="spark":
           the driver collects only final winners — the fully cluster-real
           configuration with neither a shared FS nor a driver merge hub)
+        | msadaptive (msspark + per-superstep merge choice from the exact
+          pre-probe candidate bound: driver merge on small steps, executor
+          merge on candidate-heavy steps — the shipping default)
 
 Mirrors the reference's run-benchmark.py orchestration role
 (/root/reference/run-benchmark.py:104-200).
@@ -65,11 +68,11 @@ deg = out_degrees(es).cache()
 n_total = deg.count()
 
 times, nedges = [], []
-if mode in ("ms", "msspark", "msmerge"):
+if mode in ("ms", "msspark", "msmerge", "msadaptive"):
     from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
 
-    ship = "spark" if mode in ("msspark", "msmerge") else "dir"
-    merge = "spark" if mode == "msmerge" else "driver"
+    ship = "spark" if mode in ("msspark", "msmerge", "msadaptive") else "dir"
+    merge = {{"msmerge": "spark", "msadaptive": "adaptive"}}.get(mode, "driver")
     dp = deg.orderBy("v").toPandas()
     dvs = dp["v"].to_numpy(np.int64); ddeg = dp["deg"].to_numpy(np.int64)
     # msspark: DRIVER-LOCAL staging only — workers get every file through

@@ -265,3 +265,126 @@ def test_blockship_clears_stale_transients_and_stages(tmp_path):
 
     with pytest.raises(ValueError, match="ship mode"):
         BlockShip(spark=None, blocks_path=d, mode="nfs")
+
+
+def test_msbfs_adaptive_merge_flips_midrun_same_answer(spark, tmp_path):
+    """Round-5 adaptive merge: with a tiny byte threshold the mode flips
+    to the executor merge on candidate-heavy supersteps and back to the
+    driver merge on the tail — metrics must record BOTH modes in one run,
+    and the BFS states must be bit-identical to the forced-driver run
+    (same min-parent contract regardless of where the dedup executes)."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg"), F.asc("v")).limit(3).collect()]
+
+    res_drv, met_drv = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m, merge="driver")
+    # ~4 KB threshold: peak/bottom-up supersteps of a scale-9 BFS exceed
+    # it, the root/tail steps do not — both modes must appear
+    res_ad, met_ad = bfs_multi(
+        spark, path, 4, roots, (dvs, ddeg), m,
+        merge="adaptive", adaptive_merge_bytes=4 << 10,
+    )
+    modes = {s["merge"] for s in met_ad.supersteps}
+    assert modes == {"driver", "spark"}, f"adaptive never flipped: {modes}"
+    assert met_drv.traversed_edges == met_ad.traversed_edges
+    assert len(met_drv.supersteps) == len(met_ad.supersteps)
+    for r in roots:
+        a = {(x["v"], x["parent"], x["level"]) for x in res_drv[r].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res_ad[r].collect()}
+        assert a == b, f"adaptive merge diverges for root {r}"
+
+
+def test_spark_ship_two_exports_one_session_no_basename_collision(spark, tmp_path):
+    """Round-5 (ADVICE r4): Spark's file server keys on basename for the
+    application lifetime, so two ship='spark' runs over DIFFERENT graphs
+    in one session used to collide on b0_srcs.npy with different contents.
+    The per-export tag must keep both runs correct — each BFS result must
+    match its own graph's dir-ship run."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import bfs_multi, export_blocks_indexed
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    for i, (scale, ef) in enumerate([(8, 8), (9, 6)]):  # two DIFFERENT graphs
+        es = symmetrize(kronecker_edges(spark, scale=scale, edgefactor=ef),
+                        dedup=False).cache()
+        m = es.count()
+        deg = out_degrees(es).cache()
+        dp = deg.orderBy("v").toPandas()
+        dvs = dp["v"].to_numpy(np.int64)
+        ddeg = dp["deg"].to_numpy(np.int64)
+        path = str(tmp_path / f"blocks{i}")
+        export_blocks_indexed(es, 4, path, dvs)
+        root = int(deg.orderBy(F.desc("deg"), F.asc("v")).limit(1).collect()[0]["v"])
+
+        res_sp, met_sp = bfs_multi(spark, path, 4, [root], (dvs, ddeg), m,
+                                   ship="spark")
+        res_dir, met_dir = bfs_multi(spark, path, 4, [root], (dvs, ddeg), m,
+                                     ship="dir")
+        assert met_sp.traversed_edges == met_dir.traversed_edges
+        a = {(x["v"], x["parent"], x["level"]) for x in res_sp[root].collect()}
+        b = {(x["v"], x["parent"], x["level"]) for x in res_dir[root].collect()}
+        # graph i's spark-ship answer equals graph i's dir-ship answer —
+        # the second iteration fails here if export 2's files were shadowed
+        # by export 1's registrations
+        assert a == b, f"export {i} shadowed by a previous registration"
+
+
+def test_driver_state_bytes_upper_bounds_measured_rss(spark, tmp_path):
+    """Round-5 budget tightening: driver_state_bytes now includes the
+    16·n degree-map term and a merge-mode candidate-peak term — the
+    formula must UPPER-bound the python driver's actual RSS growth over
+    a full bfs_multi batch (it is advertised as *the* budget)."""
+    import numpy as np
+
+    from graph500_bfs_spark.operators.msbfs import (
+        bfs_multi,
+        driver_state_bytes,
+        export_blocks_indexed,
+    )
+    from graph500_bfs_spark.operators.prep import symmetrize
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    def rss_bytes():
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS:"):
+                    return int(ln.split()[1]) * 1024
+        raise RuntimeError("no VmRSS")
+
+    es = symmetrize(kronecker_edges(spark, scale=12, edgefactor=8), dedup=False).cache()
+    m = es.count()
+    deg = out_degrees(es).cache()
+    dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
+    n = len(dvs)
+    path = str(tmp_path / "blocks")
+    export_blocks_indexed(es, 4, path, dvs)
+    roots = [int(r["v"]) for r in deg.orderBy(F.desc("deg"), F.asc("v")).limit(8).collect()]
+
+    before = rss_bytes()
+    res, met = bfs_multi(spark, path, 4, roots, (dvs, ddeg), m, merge="driver")
+    growth = rss_bytes() - before
+
+    # formula with the DRIVER-merge transient term (the biggest) must
+    # upper-bound what actually happened; reached ≤ n so default args
+    budget = driver_state_bytes(n, len(roots), merge="driver", edgefactor=8)
+    assert growth < budget, f"measured {growth} >= formula {budget}"
+    # ...and the ordering sanity the docstring promises
+    assert driver_state_bytes(n, 8, merge="spark") <= driver_state_bytes(
+        n, 8, merge="adaptive"
+    ) <= driver_state_bytes(n, 8, merge="driver", edgefactor=16)
