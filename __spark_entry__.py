@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rest — only the probed cells are read (partition pruning)
         "ivf_topk_at_rest": gate.q_ivf_topk_at_rest,
         "kmeans_ivf_topk": gate.q_kmeans_ivf_topk,
+        # round 5: trained centroids + at-rest partitioned layout composed
+        # (training, layout, partition pruning, rerank in one hash check)
+        "kmeans_ivf_topk_at_rest": gate.q_kmeans_ivf_topk_at_rest,
         "embedding_near_dup": gate.q_embedding_near_dup,
         "transcript_edges": gate.q_transcript_edges,
         "kronecker_degree_hist": gate.q_kronecker_degree_hist,

@@ -822,6 +822,41 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
 WHERE rank <= 5"""
 
 
+def q_kmeans_ivf_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the TRAINED at-rest layout — the full production ANN path
+    end-to-end.  Centroids come from 2 Lloyd iterations of distributed
+    spherical k-means (not the first-N stub), the corpus is WRITTEN
+    partitioned by those trained cells, and the probe reads only the
+    probed partitions (PartitionFilters — asserted by pytest).  Results
+    are identical to the in-memory kmeans_ivf_topk on the same training,
+    so it shares that oracle verbatim — training, layout, pruning and
+    rerank all inside one hash check."""
+    import shutil
+    import tempfile
+
+    from graph500_bfs_spark.operators.similarity import (
+        ivf_topk_at_rest,
+        ivf_write_partitioned,
+        kmeans_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=8, n_iter=2)
+    path = tempfile.mkdtemp(prefix="gate_kmeans_rest_")
+    try:
+        ivf_write_partitioned(emb, path, n_centroids=8, centroids=cents)
+        out = ivf_topk_at_rest(
+            spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
+        )
+        # driver-materialize (50 rows) so the temp dir can be removed
+        # before the caller collects
+        return spark.createDataFrame(
+            out.toPandas(), "query_id long, neighbor_id long, rank int"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the composition a training-data pipeline
     actually runs: MinHash-LSH candidate pairs (verified Jaccard ≥ 0.5)
@@ -962,3 +997,6 @@ SELECT v, MIN(m) AS component FROM reach GROUP BY v"""
 # same stub centroids, same probe/rerank semantics — only the storage layout
 # (partitioned-by-centroid parquet + partition pruning) differs
 ORACLES["ivf_topk_at_rest"] = ORACLES["ivf_topk"]
+# round-5 trained at-rest layout: same training + probe params as
+# kmeans_ivf_topk, so the oracle is shared verbatim
+ORACLES["kmeans_ivf_topk_at_rest"] = ORACLES["kmeans_ivf_topk"]

@@ -378,3 +378,40 @@ def test_ivf_at_rest_prunes_partitions_and_matches_ivf_topk(spark, tmp_path):
     # no scan in the plan may read ALL centroid partitions
     m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("centroid" in f for f in m), plan[:2000]
+
+
+def test_kmeans_trained_at_rest_prunes_and_matches_in_memory(spark, tmp_path):
+    """Round-5: the at-rest IVF layout under TRAINED k-means centroids —
+    write the corpus partitioned by the trained cells, probe must read
+    only the probed partitions (PartitionFilters) and return exactly the
+    in-memory ivf_topk answer on the same centroids."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_at_rest,
+        ivf_write_partitioned,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    cents = kmeans_centroids(emb, n_centroids=8, n_iter=2).cache()
+    path = str(tmp_path / "ivf_trained")
+    ivf_write_partitioned(emb, path, n_centroids=8, centroids=cents)
+
+    import os
+
+    cells_on_disk = {d for d in os.listdir(f"{path}/corpus") if d.startswith("centroid=")}
+    assert len(cells_on_disk) > 4, "fixture degenerate: probe would read everything"
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_topk_at_rest(spark, path, queries, k=5, n_probe=4)
+    want = ivf_topk(emb, k=5, n_queries=10, n_centroids=8, n_probe=4, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    import re
+
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid" in f for f in m), plan[:2000]
