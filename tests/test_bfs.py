@@ -301,3 +301,58 @@ def test_real_benchmark_spec_bundle(spark, monkeypatch):
     assert len(out["bfs_times_s"]) == 4
     # level 2 = measured traversals, not the pf_nedge table
     assert all(n > 0 for n in out["traversed_edges"])
+
+
+def test_sssp_unit_weights_equals_bfs_levels(spark):
+    """SSSP with all weights = 1 must reproduce BFS levels exactly — the
+    frontier Bellman-Ford degenerates to BFS (same fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.bfs import bfs
+    from graph500_bfs_spark.operators.prep import out_degrees, symmetrize
+    from graph500_bfs_spark.operators.sssp import sssp
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges
+
+    es = symmetrize(kronecker_edges(spark, scale=9, edgefactor=8)).cache()
+    deg = out_degrees(es)
+    root = int(deg.orderBy(F.desc("deg"), F.asc("v")).limit(1).collect()[0]["v"])
+    state, _ = bfs(es, root)
+    want = {(r["v"], r["level"]) for r in state.select("v", "level").collect()}
+    dist, n_iter = sssp(es.withColumn("w", F.lit(1)), root)
+    got = {(r["v"], r["dist"]) for r in dist.collect()}
+    assert got == want
+    assert n_iter <= max(lv for _, lv in want) + 2
+
+
+def test_sssp_weighted_bounds_and_improvement(spark):
+    """Weighted SSSP on the bit-exact weighted Kronecker stream: distances
+    are bounded by level <= dist <= max_w * level, and at least one vertex
+    is strictly closer through a longer-hop path than the BFS tree edge
+    count implies (the weighted structure is actually exercised)."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.bfs import bfs
+    from graph500_bfs_spark.operators.prep import out_degrees
+    from graph500_bfs_spark.operators.sssp import sssp
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges_weighted
+
+    ew = kronecker_edges_weighted(spark, scale=9, edgefactor=8, max_weight=7)
+    # undirected: keep the weight with both directions (w is per generated
+    # edge slot; min across duplicate pairs keeps the table a function)
+    pairs = ew.filter(F.col("src") != F.col("dst")).groupBy("src", "dst").agg(
+        F.min("w").alias("w")
+    )
+    bi = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).groupBy("src", "dst").agg(F.min("w").alias("w")).cache()
+    deg = out_degrees(bi.select("src", "dst"))
+    root = int(deg.orderBy(F.desc("deg"), F.asc("v")).limit(1).collect()[0]["v"])
+
+    dist, _ = sssp(bi, root)
+    state, _ = bfs(bi.select("src", "dst"), root)
+    lv = {r["v"]: r["level"] for r in state.collect()}
+    dd = {r["v"]: r["dist"] for r in dist.collect()}
+    assert set(dd) == set(lv)  # same reachable set
+    assert all(lv[v] <= dd[v] <= 7 * lv[v] for v in dd)
+    # some vertex's shortest weighted path uses MORE hops than its level
+    assert any(dd[v] < lv[v] * 7 and dd[v] > lv[v] for v in dd)

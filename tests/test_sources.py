@@ -272,3 +272,38 @@ def test_entry_contract_queries_all_oracled():
 
     q, o = set(m.queries()), set(m.oracle_sql())
     assert q == o, (sorted(q - o), sorted(o - q))
+
+
+def test_weight_batch_bit_exact_and_in_range(spark):
+    """Round-5 generateWeight analog: the vectorized weight stream must be
+    bit-identical to the scalar MRG path (seed skipped by
+    30*2^128 + 46*2^64 + edge_index, one draw, % max_weight + 1 --
+    graph_generator.hpp:647-679) and lie in [1, max_weight]."""
+    import numpy as np
+
+    from graph500_bfs_spark.sources.mrg import (
+        USERSEED1,
+        USERSEED2,
+        make_mrg_seed,
+        mrg_next,
+        mrg_skip,
+        weight_batch,
+    )
+
+    idx = np.array([0, 1, 2, 255, 256, 65535, 65536, 10**6, 10**9], dtype=np.int64)
+    got = weight_batch(idx, 255)
+    for i, g in zip(idx, got):
+        z = mrg_skip(
+            make_mrg_seed(USERSEED1, USERSEED2), (30 << 128) + (46 << 64) + int(i)
+        )
+        v, _ = mrg_next(z)
+        assert g == v % 255 + 1
+    assert got.min() >= 1 and got.max() <= 255
+
+    # Spark source carries the same weights per edge index order
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges_weighted
+
+    df = kronecker_edges_weighted(spark, scale=6, edgefactor=4, max_weight=7)
+    ws = np.array([r["w"] for r in df.collect()])
+    assert len(ws) == 4 << 6
+    assert ws.min() >= 1 and ws.max() <= 7
