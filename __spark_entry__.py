@@ -42,6 +42,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline suites
         "doc_stats": gate.q_doc_stats,
         "exact_dup_groups": gate.q_exact_dup_groups,
+        # round 5: the full corpus-prep composition (dedup survivor +
+        # language gate + quality gate) as one oracled pipeline
+        "corpus_prep": gate.q_corpus_prep,
+        "token_budget_sample": gate.q_token_budget_sample,
         "ngram_jaccard": gate.q_ngram_jaccard,
         "minhash_signatures": gate.q_minhash_signatures,
         "simhash_signatures": gate.q_simhash_signatures,

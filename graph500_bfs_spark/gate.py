@@ -511,6 +511,57 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strategy differs (strategy equivalence checked by the driver gate)
 ORACLES["bfs_levels_msbfs"] = ORACLES["bfs_levels"]
 
+ORACLES["token_budget_sample"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS INTEGER)
+           AS n_stopwords,
+         n_chars
+  FROM documents),
+stats AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROUND((LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - LEAST(n_stopwords / GREATEST(n_tokens, 1.0) * 2.0, 1.0)) * 0.3
+             + LEAST((n_chars / GREATEST(n_tokens, 1.0)) / 8.0, 1.0) * 0.3) * 1e6) AS BIGINT)
+           AS quality_ppm
+  FROM base)
+SELECT doc_id, n_tokens, quality_ppm FROM (
+  SELECT doc_id, n_tokens, quality_ppm,
+         SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM stats)
+WHERE cum <= 10000"""
+
+
+
+ORACLES["corpus_prep"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS INTEGER)
+           AS n_stopwords,
+         n_chars, text
+  FROM documents),
+stats AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROUND((LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - LEAST(n_stopwords / GREATEST(n_tokens, 1.0) * 2.0, 1.0)) * 0.3
+             + LEAST((n_chars / GREATEST(n_tokens, 1.0)) / 8.0, 1.0) * 0.3) * 1e6) AS BIGINT)
+           AS quality_ppm,
+         CASE WHEN n_stopwords / GREATEST(n_tokens, 1.0) >= 0.05 THEN 'en' ELSE 'unk' END
+           AS lang_guess
+  FROM base),
+fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+grp AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp),
+canon AS (SELECT doc_id, canonical_id FROM fp JOIN grp USING (fp))
+SELECT s.doc_id, s.n_tokens, s.quality_ppm
+FROM stats s JOIN canon c ON c.doc_id = s.doc_id
+WHERE s.doc_id = c.canonical_id AND s.lang_guess = 'en'
+  AND s.quality_ppm >= 300000"""
+
+
+
 ORACLES["sssp_dist"] = (
     "WITH RECURSIVE "
     + _EDGES_BI
@@ -893,6 +944,46 @@ def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = e0.agg(F.min("src")).collect()[0][0]
     dist, _ = sssp(ew, int(root))
     return dist
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the pretraining corpus-prep composition a user of this
+    engine actually ships -- exact-dedup survivors (doc_id == canonical of
+    its content group) that pass the language gate (lang_guess = 'en') and
+    the quality gate (quality_ppm >= 300000), with their token counts.
+    Every predicate is row-local after ONE dedup groupBy, so the
+    composition keeps the same 100 TB shape as its parts."""
+    from graph500_bfs_spark.operators.dedup import exact_dup_groups
+    from graph500_bfs_spark.operators.textstats import document_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = document_stats(docs)
+    groups = exact_dup_groups(docs)
+    return (
+        stats.join(groups, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("lang_guess") == "en")
+            & (F.col("quality_ppm") >= 300000)
+        )
+        .select("doc_id", "n_tokens", "quality_ppm")
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 token-budget selection: highest-quality docs until 10k
+    tokens, by the inclusive-running-sum rule in (quality DESC, doc_id)
+    order.  The operator is the scalable histogram-cutoff two-phase form
+    (no global sort); the oracle is the direct window-cumsum SQL -- a
+    hash match proves the distributed decomposition equals the
+    sequential specification."""
+    from graph500_bfs_spark.operators.textstats import (
+        document_stats,
+        select_token_budget,
+    )
+
+    stats = document_stats(_read(spark, sf_dir, "documents"))
+    return select_token_budget(stats, 10_000)
 
 
 def q_dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

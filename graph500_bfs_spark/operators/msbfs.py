@@ -218,7 +218,7 @@ def bfs_multi(
     max_levels: int = 1000,
     ship: str = "dir",
     merge: str = "adaptive",
-    adaptive_merge_bytes: int = 256 << 20,
+    adaptive_merge_bytes: int = 1 << 30,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 4,
     interrupt_at_step: int | None = None,
@@ -257,8 +257,10 @@ def bfs_multi(
       same counter-driven style as the broadcast gates in bfs.py): the
       candidate volume is bounded by Σ nq_edges over top-down roots plus
       Σ unvisited over bottom-up roots (each bottom-up row yields ≤1
-      candidate), ×20 bytes/row.  Below ``adaptive_merge_bytes`` (default 256 MiB — what a
-      driver comfortably absorbs per step as one Arrow collect) the
+      candidate), ×20 bytes/row.  Below ``adaptive_merge_bytes`` (default 1 GiB — what a
+      driver with the engine's 8g maxResultSize comfortably absorbs per
+      step as one Arrow collect; the bound is a worst case that actual
+      candidate volume rarely approaches) the
       driver merge wins (no shuffle stage — the steps where the executor
       merge's fixed shuffle cost is pure toll, which is MOST steps of a
       power-law BFS); above it the executor merge keeps the duplicated
@@ -606,7 +608,7 @@ def driver_state_bytes(
     reached_per_root: int | None = None,
     merge: str = "adaptive",
     edgefactor: int = 16,
-    adaptive_merge_bytes: int = 256 << 20,
+    adaptive_merge_bytes: int = 1 << 30,
 ) -> int:
     """Peak driver-resident bytes for :func:`bfs_multi` — the documented
     budget formula behind :func:`bfs_roots`'s strategy flip.
@@ -690,7 +692,7 @@ def bfs_roots(
         n_vertices, len(roots),
         merge=bfs_multi_kwargs.get("merge", "adaptive"),
         adaptive_merge_bytes=bfs_multi_kwargs.get(
-            "adaptive_merge_bytes", 256 << 20
+            "adaptive_merge_bytes", 1 << 30
         ),
     )
     if need <= driver_memory_budget:

@@ -151,3 +151,58 @@ def document_stats(docs: DataFrame) -> DataFrame:
         lang_guess(F.col("text")).alias("lang_guess"),
         fingerprint_md5(F.col("text")).alias("fingerprint"),
     )
+
+
+def select_token_budget(stats: DataFrame, budget_tokens: int) -> DataFrame:
+    """Highest-quality documents until the token budget is spent — the
+    selection rule: keep a doc iff its inclusive running token sum, in
+    (quality_ppm DESC, doc_id ASC) order, is ≤ ``budget_tokens``.
+
+    A naive global window cumsum is a single-partition sort — wrong at
+    100 TB.  This is the scalable two-phase form:
+
+    1. per-quality-bucket token totals (quality_ppm is a BOUNDED domain,
+       ≤ 1e6 distinct values, so the histogram is tiny) → the cutoff
+       bucket q* is found on the driver from the bucket-level cumsum;
+    2. every doc STRICTLY above q* is kept with a row-local filter (its
+       inclusive cumsum is a prefix of an in-budget bucket cumsum);
+    3. only the BOUNDARY bucket needs per-doc ordering: a window
+       partitioned to that single bucket, bounded by one bucket's size,
+       spends the remaining budget in doc_id order.
+
+    Returns (doc_id, n_tokens, quality_ppm) — deterministic, exactly the
+    SQL window-cumsum rule (oracle-checked).
+    """
+    from pyspark.sql import Window
+
+    hist = sorted(
+        (
+            (int(r["quality_ppm"]), int(r["toks"]))
+            for r in stats.groupBy("quality_ppm")
+            .agg(F.sum("n_tokens").alias("toks"))
+            .collect()
+        ),
+        key=lambda t: -t[0],
+    )
+    cum = 0
+    cutoff = None  # first bucket whose full inclusion would bust the budget
+    remaining = budget_tokens
+    for q, toks in hist:
+        if cum + toks > budget_tokens:
+            cutoff, remaining = q, budget_tokens - cum
+            break
+        cum += toks
+    cols = ["doc_id", "n_tokens", "quality_ppm"]
+    if cutoff is None:  # whole corpus fits the budget
+        return stats.select(*cols)
+    above = stats.filter(F.col("quality_ppm") > cutoff).select(*cols)
+    w = Window.partitionBy("quality_ppm").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        stats.filter(F.col("quality_ppm") == cutoff)
+        .withColumn("cum_in", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_in") <= remaining)
+        .select(*cols)
+    )
+    return above.unionByName(boundary)
