@@ -254,16 +254,17 @@ def bfs_multi(
       tested.
     * ``"adaptive"`` (default) — pick per SUPERSTEP from the exact
       counters the driver already holds BEFORE launching the probe (the
-      same counter-driven style as the broadcast gates in bfs.py): the
-      candidate volume is bounded by Σ nq_edges over top-down roots plus
-      Σ unvisited over bottom-up roots (each bottom-up row yields ≤1
-      candidate), ×20 bytes/row.  Below ``adaptive_merge_bytes`` (default 1 GiB — what a
-      driver with the engine's 8g maxResultSize comfortably absorbs per
-      step as one Arrow collect; the bound is a worst case that actual
-      candidate volume rarely approaches) the
-      driver merge wins (no shuffle stage — the steps where the executor
-      merge's fixed shuffle cost is pure toll, which is MOST steps of a
-      power-law BFS); above it the executor merge keeps the duplicated
+      same counter-driven style as the broadcast gates in bfs.py).  Only
+      TOP-DOWN roots contribute to the estimate (Σ min(nq_edges, n) × 20
+      bytes): top-down dsts arrive from many blocks, so the executor
+      merge genuinely shrinks what the driver ingests; bottom-up rows are
+      already globally unique (each CSR src row lives in exactly ONE
+      block), so shuffling them buys nothing — same-session measurement
+      at scale 22 put the executor merge on the bottom-up peaks at 3-4×
+      the cost for zero benefit (BENCH/ab_merge_modes_s22_r32.json).
+      Below ``adaptive_merge_bytes`` (default 1 GiB — well under the
+      engine's 8g maxResultSize) the driver merge wins (no shuffle
+      stage); above it the executor merge keeps the duplicated top-down
       candidate set off the driver.  Per-step choice is recorded in
       ``metrics.supersteps[i]["merge"]``.  Both modes honor the same min
       contract, so the flip never changes the answer (tested).
@@ -383,13 +384,18 @@ def bfs_multi(
             s.guard.step(len(s.fidx), s.nq_edges)
 
         if merge == "adaptive":
-            # exact pre-probe candidate bound: top-down emits ≤ nq_edges
-            # rows per root, bottom-up ≤ 1 row per unvisited vertex
+            # Only TOP-DOWN candidates count toward the flip: a dst can
+            # arrive from many blocks (cross-block duplicates the executor
+            # merge actually removes, ≤ nq_edges rows per root).  Bottom-up
+            # rows are already globally unique — each CSR src row lives in
+            # exactly one block — so a groupBy over them shuffles without
+            # shrinking the collect; measured at scale 22, forcing the
+            # executor merge onto the bottom-up peak steps cost 3-4x
+            # (BENCH/ab_merge_modes_s22_r32.json) for zero dedup benefit.
             est_rows = sum(
                 min(s.nq_edges, n_total)
-                if s.guard.direction == "top_down"
-                else n_total - s.n_reached
                 for s in active
+                if s.guard.direction == "top_down"
             )
             step_merge = "spark" if est_rows * 20 > adaptive_merge_bytes else "driver"
         else:
