@@ -636,10 +636,13 @@ def driver_state_bytes(
         level (this is WHY plain driver merge does not scale: the term is
         O(edges touched), the verdict's 2.6×-toll finding made formula);
       - ``"spark"``: winners only, ≤ R × reached × 20;
-      - ``"adaptive"`` (default): the driver collect is capped — steps
-        whose candidate bound exceeds ``adaptive_merge_bytes`` flip to
-        the executor merge, so the peak is
-        min(candidates, max(adaptive_merge_bytes, winners)).
+      - ``"adaptive"`` (default): the TOP-DOWN candidate volume is capped
+        — steps whose top-down bound exceeds ``adaptive_merge_bytes``
+        flip to the executor merge; bottom-up rows (globally unique per
+        CSR block, never worth shuffling) always reach the driver and
+        are ≤ the winners volume.  A mixed step can therefore collect up
+        to threshold + winners, never more than the all-driver bound:
+        min(candidates, adaptive_merge_bytes + winners).
 
     ``reached_per_root`` defaults to n (every vertex reached — the Graph500
     giant-component worst case).  At scale 26 with 64 roots the result
@@ -655,10 +658,11 @@ def driver_state_bytes(
         transient = candidates_step
     elif merge == "spark":
         transient = winners_step
-    else:  # adaptive: executor merge kicks in past the byte threshold, so
-        # the driver collect peaks at the threshold or the winners volume,
-        # whichever is larger — and never above the all-driver bound
-        transient = min(candidates_step, max(adaptive_merge_bytes, winners_step))
+    else:  # adaptive: the flip caps only the TOP-DOWN portion at the byte
+        # threshold (bottom-up rows are block-unique and always collect
+        # driver-side, bounded by the winners volume), so a mixed step
+        # peaks at their SUM — never above the all-driver bound
+        transient = min(candidates_step, adaptive_merge_bytes + winners_step)
     return 16 * n_vertices + 3 * n_roots * nbytes + n_roots * reached * 20 + transient
 
 

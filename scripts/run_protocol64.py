@@ -75,7 +75,14 @@ def main():
 
     path = f"/dev/shm/g5_proto_s{scale}"
     shutil.rmtree(path, ignore_errors=True)
-    nblocks = max(cores, 16)
+    # Block count scales with the graph, not the core count: each block is
+    # one applyInPandas group during construction (≈ m/nblocks edges held in
+    # one pandas frame), so at scale 26 (2.1e9 directed edges) 32 blocks
+    # would mean ~540 MB Arrow cells — 128 keeps groups near 17M edges.
+    nblocks = (
+        int(sys.argv[4]) if len(sys.argv) > 4
+        else max(cores, 16, 1 << max(0, scale - 19))
+    )
     export_blocks_indexed(es, nblocks, path, dvs)
     roots = sample_roots_spec(deg, scale, n_roots)
     print(f"construction {construction_s:.0f}s; {len(roots)} protocol roots")
