@@ -56,12 +56,18 @@ def main():
 
     t_con = time.time()
     kron = kronecker_edges(spark, scale=scale, edgefactor=16)
-    es = symmetrize(kron, dedup=False).repartition(cores * 4, "src").cache()
-    m_dir = es.count()
-    deg = out_degrees(es).cache()
-    dp = deg.orderBy("v").toPandas()
-    dvs = dp["v"].to_numpy(np.int64)
-    ddeg = dp["deg"].to_numpy(np.int64)
+    # Disk-lean construction past scale 23: at scale 26 the straightforward
+    # cache+count+degree+blocks pipeline writes cache spill (~25 GB) plus a
+    # repartition exchange, a degree exchange, and the block-build exchange
+    # with its sort spills — measured ENOSPC on this box's ~70 GB of free
+    # disk.  The lean path (a) never caches the 2·m edge list (each pass
+    # regenerates the bit-exact stream — CPU, not disk), (b) derives
+    # m_directed arithmetically (symmetrize(dedup=False) = every slot minus
+    # self-loop slots, doubled — the loop counts are needed for the checksum
+    # anyway), (c) runs construction shuffles over int32 vertex ids (exact
+    # for scale ≤ 31 — halves every shuffle byte), and (d) drops the
+    # cosmetic pre-repartition (generator partitions are already balanced).
+    lean = scale >= 24
     # self-loop slot counts per vertex (symmetrize drops them; the pf_nedge
     # checksum counts every generated slot at a reached vertex incl. loops)
     loops = {
@@ -71,6 +77,25 @@ def main():
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    if lean:
+        m_dir = 2 * ((1 << scale) * 16 - sum(loops.values()))
+        es = symmetrize(kron, dedup=False).select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+        dp = out_degrees(es).orderBy("v").toPandas()
+        # rebuild the degree table driver-backed (38M rows ≈ 0.6 GB at s26)
+        # so root sampling / the join leg never re-derive it from the
+        # uncached 2·m stream
+        deg = spark.createDataFrame(dp, "v long, deg long").cache()
+        deg.count()
+    else:
+        es = symmetrize(kron, dedup=False).repartition(cores * 4, "src").cache()
+        m_dir = es.count()
+        deg = out_degrees(es).cache()
+        dp = deg.orderBy("v").toPandas()
+    dvs = dp["v"].to_numpy(np.int64)
+    ddeg = dp["deg"].to_numpy(np.int64)
     construction_s = time.time() - t_con
 
     path = f"/dev/shm/g5_proto_s{scale}"
@@ -145,8 +170,16 @@ def main():
             "msbfs_batch_wall_s": round(metb.total_time_s, 3),
         }
     else:
+        from pyspark import StorageLevel
+
         from graph500_bfs_spark.operators.bfs import bfs as join_bfs
 
+        if lean:
+            # the join BFS re-scans the edge table every superstep; persist
+            # it columnar-compressed on disk for this leg only (~15-20 GB at
+            # s26 — the construction spills that forced the lean path are
+            # long gone by now)
+            es = es.persist(StorageLevel.DISK_ONLY)
         t_j = time.time()
         state_j, met_j = join_bfs(
             es, roots[0], degrees=deg, n_vertices=int(len(dvs)), m_edges=m_dir
