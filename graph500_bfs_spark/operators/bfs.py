@@ -56,6 +56,27 @@ from graph500_bfs_spark.operators._direction import (
 
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
+# Driver-side broadcast gate (rows): frontiers/exclusion sets below this
+# are hint-broadcast (the reference's frontier allgather, bfs.hpp:680-696);
+# above it the join must shuffle — and there the hint matters just as
+# much: without one Catalyst plans a sort-merge join, which re-SORTS the
+# multi-billion-row cached adjacency every superstep (tens of GB of sort
+# spill per level at scale 26, measured ENOSPC).  A shuffle_hash hint on
+# the frontier side builds the per-partition hash map from the SMALL side
+# and streams the adjacency partition-locally with no sort — the plan a
+# 100 TB cluster needs.
+BROADCAST_GATE = 8_000_000
+
+# Cumulative candidate-edge volume between explicit shuffle cleanups.
+# Exchange files from finished supersteps sit on executor-local disk until
+# the driver JVM garbage-collects the RDD references (ContextCleaner's own
+# periodic GC interval is 30 min — many supersteps at web scale), so a
+# long iterative run can fill local disk with dead shuffles from levels
+# whose frontiers are already checkpointed.  Once this many edges have
+# flowed through the expand joins, a driver System.gc() lets the cleaner
+# reclaim them; small graphs never hit the threshold.
+SHUFFLE_CLEANUP_EDGE_BUDGET = 256_000_000
+
 
 @dataclass
 class BfsMetrics:
@@ -160,6 +181,8 @@ def bfs(
     nq, nq_edges = int(row[0]), int(row[1])
     visited_total = nq  # rows in state (the driver-side visited counter)
 
+    edges_since_cleanup = 0  # triggers SHUFFLE_CLEANUP_EDGE_BUDGET GCs
+
     if resume and checkpointer is not None and run_id is not None:
         loaded = checkpointer.load_superstep(run_id)
         if loaded is not None:
@@ -208,7 +231,9 @@ def bfs(
         # size (the reference's allreduced counter); Catalyst's estimate for
         # a checkpointed frontier can otherwise pick the multi-million-row
         # adjacency as broadcast side, rebuilding that broadcast per level
-        f_small = F.broadcast(f_ids) if nq < 8_000_000 else f_ids
+        f_small = (
+            F.broadcast(f_ids) if nq < BROADCAST_GATE else f_ids.hint("shuffle_hash")
+        )
 
         if direction == "top_down":
             # B2/B3: expand from the frontier; candidate carries the
@@ -241,8 +266,10 @@ def bfs(
             # the same budget as the expand-side f_small gate: hinted
             # broadcast below it, plain shuffle anti-join above.
             exclude = exclude.withColumnRenamed("v", "xv")
-            if nq + prev_nq < 8_000_000:
+            if nq + prev_nq < BROADCAST_GATE:
                 exclude = F.broadcast(exclude)
+            else:
+                exclude = exclude.hint("shuffle_hash")
             winners = winners.join(exclude, winners["v"] == F.col("xv"), "left_anti")
         else:
             # B6/B7: drive from the unvisited side.  unvisited is computed
@@ -253,13 +280,13 @@ def bfs(
                 unvisited = (
                     deg.select("v")
                     .join(
-                        state.select(F.col("v").alias("sv")),
+                        state.select(F.col("v").alias("sv")).hint("shuffle_hash"),
                         F.col("v") == F.col("sv"),
                         "left_anti",
                     )
                     .localCheckpoint(eager=True)
                 )
-            uv = unvisited.select(F.col("v").alias("uv"))
+            uv = unvisited.select(F.col("v").alias("uv")).hint("shuffle_hash")
             unvisited_edges = adj.join(uv, adj["src"] == F.col("uv"), "left_semi")
             cand = unvisited_edges.join(f_small, unvisited_edges["dst"] == F.col("fv")).select(
                 F.col("src").alias("v"),
@@ -285,8 +312,10 @@ def bfs(
         new_nq, new_nq_edges = int(stats["nq"] or 0), int(stats["nq_edges"] or 0)
         if unvisited is not None and direction == "bottom_up" and new_nq > 0:
             nf = new_frontier.select(F.col("v").alias("nv"))
-            if new_nq < 8_000_000:
+            if new_nq < BROADCAST_GATE:
                 nf = F.broadcast(nf)
+            else:
+                nf = nf.hint("shuffle_hash")
             unvisited = unvisited.join(
                 nf, unvisited["v"] == F.col("nv"), "left_anti"
             ).localCheckpoint(eager=True)
@@ -311,9 +340,17 @@ def bfs(
         prev_frontier = frontier
         prev_nq = nq
         frontier = new_frontier
+        edges_since_cleanup += nq_edges
         nq, nq_edges = new_nq, new_nq_edges
         visited_total += new_nq
         level += 1
+        if edges_since_cleanup >= SHUFFLE_CLEANUP_EDGE_BUDGET:
+            # reclaim dead shuffle files from completed supersteps (see
+            # SHUFFLE_CLEANUP_EDGE_BUDGET above); only the checkpointed
+            # frontiers survive, so the cleaner can drop every exchange
+            # older than the previous level
+            spark.sparkContext._jvm.System.gc()
+            edges_since_cleanup = 0
 
     metrics.total_time_s = time.perf_counter() - t0
     # V6-style traversed-edge count: Σ deg(v) over visited / 2

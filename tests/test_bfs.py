@@ -356,3 +356,23 @@ def test_sssp_weighted_bounds_and_improvement(spark):
     assert all(lv[v] <= dd[v] <= 7 * lv[v] for v in dd)
     # some vertex's shortest weighted path uses MORE hops than its level
     assert any(dd[v] < lv[v] * 7 and dd[v] > lv[v] for v in dd)
+
+
+def test_bfs_above_gate_shuffle_hash_path(spark, monkeypatch):
+    """Force the above-BROADCAST_GATE plan (shuffle_hash hints on frontier,
+    exclusion, and unvisited sides) and a shuffle cleanup every superstep;
+    results must be identical to the broadcast-gated default.  This is the
+    plan the web-scale runs take — sort-merge there would re-sort the
+    cached adjacency per level (measured ENOSPC at scale 26)."""
+    import graph500_bfs_spark.operators.bfs as bfs_mod
+
+    es = edges_df(spark, HUB_SKEW).cache()
+    baseline, _ = bfs(es, 4)
+    base = {(r["v"], r["parent"], r["level"]) for r in baseline.collect()}
+
+    monkeypatch.setattr(bfs_mod, "BROADCAST_GATE", 0)
+    monkeypatch.setattr(bfs_mod, "SHUFFLE_CLEANUP_EDGE_BUDGET", 1)
+    forced, _ = bfs(es, 4)
+    got = {(r["v"], r["parent"], r["level"]) for r in forced.collect()}
+    es.unpersist()
+    assert got == base
