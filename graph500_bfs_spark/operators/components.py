@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators._iter import mutable_side
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
@@ -38,13 +39,18 @@ def connected_components(
     mid-run; rounds are deterministic so resume is exact.
     """
     scope = CheckpointScope(edges_sym.sparkSession)
+    # static side cached pre-partitioned on the join key (see _iter): each
+    # round's gather join then exchanges only the label vector — the edge
+    # table is shuffled once here, never again
+    e = edges_sym.select("src", "dst").repartition("src").cache()
     labels = (
-        edges_sym.select(F.col("src").alias("v"))
-        .union(edges_sym.select(F.col("dst").alias("v")))
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
         .distinct()
         .select("v", F.col("v").alias("component"))
         .localCheckpoint(eager=True)
     )
+    n = labels.count()
     rnd = 0
     if resume and checkpointer is not None and run_id is not None:
         loaded = checkpointer.load_superstep(run_id)
@@ -55,8 +61,9 @@ def connected_components(
         max_iter -= 1
         rnd += 1
         nbr_min = (
-            edges_sym.join(
-                labels.withColumnRenamed("v", "lv"), edges_sym["src"] == F.col("lv")
+            e.join(
+                mutable_side(labels.withColumnRenamed("v", "lv"), n),
+                e["src"] == F.col("lv"),
             )
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("component").alias("nbr"))
@@ -64,7 +71,11 @@ def connected_components(
         # gather step materialized once (it feeds BOTH sides of the
         # pointer-doubling self-join — without this it would evaluate twice)
         merged = (
-            labels.join(nbr_min.withColumnRenamed("v", "nv"), labels["v"] == F.col("nv"), "left")
+            labels.join(
+                mutable_side(nbr_min.withColumnRenamed("v", "nv"), n),
+                labels["v"] == F.col("nv"),
+                "left",
+            )
             .select(
                 labels["v"],
                 F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias(
@@ -79,7 +90,12 @@ def connected_components(
         short = (
             merged.alias("a")
             .join(
-                merged.select(F.col("v").alias("bv"), F.col("component").alias("bc")).alias("b"),
+                mutable_side(
+                    merged.select(
+                        F.col("v").alias("bv"), F.col("component").alias("bc")
+                    ).alias("b"),
+                    n,
+                ),
                 F.col("a.component") == F.col("bv"),
                 "left",
             )
@@ -104,6 +120,7 @@ def connected_components(
             )
         if int(changed or 0) == 0:
             break
+    e.unpersist()
     return scope.finalize(labels)
 
 

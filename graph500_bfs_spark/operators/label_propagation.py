@@ -15,23 +15,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators._iter import mutable_side
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
 def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
     """labels(v, label) over a symmetrized edge table; init label = v."""
     scope = CheckpointScope(edges_sym.sparkSession)
+    # static side cached pre-partitioned on the join key (see _iter): each
+    # round's gather join then exchanges only the label vector
+    e = edges_sym.select("src", "dst").repartition("src").cache()
     labels = (
-        edges_sym.select(F.col("src").alias("v"))
-        .union(edges_sym.select(F.col("dst").alias("v")))
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
         .distinct()
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
+    n = labels.count()
     for _ in range(max_iter):
         counts = (
-            edges_sym.join(
-                labels.withColumnRenamed("v", "lv"), edges_sym["src"] == F.col("lv")
+            e.join(
+                mutable_side(labels.withColumnRenamed("v", "lv"), n),
+                e["src"] == F.col("lv"),
             )
             .groupBy(F.col("dst").alias("v"), F.col("label"))
             .agg(F.count("*").alias("cnt"))
@@ -44,7 +50,11 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         merged = (
             labels.select(F.col("v"), F.col("label").alias("old"))
-            .join(new_labels.withColumnRenamed("v", "nv"), F.col("v") == F.col("nv"), "left")
+            .join(
+                mutable_side(new_labels.withColumnRenamed("v", "nv"), n),
+                F.col("v") == F.col("nv"),
+                "left",
+            )
             .select("v", F.coalesce(F.col("label"), F.col("old")).alias("label"), F.col("old"))
             .localCheckpoint(eager=True)  # action 1: materialize round
         )
@@ -53,4 +63,5 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = merged.drop("old")
         if int(changed or 0) == 0:
             break
+    e.unpersist()
     return scope.finalize(labels)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators._iter import mutable_side
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
@@ -51,9 +52,12 @@ def pagerank(
     )
     n = vertices.count()
     outdeg = e.groupBy(F.col("src").alias("ov")).agg(F.count("*").alias("outdeg"))
+    # pre-partitioned on the join key: the per-iteration rank join then
+    # exchanges only the rank vector — links is shuffled exactly once, here
     links = (
         e.join(outdeg, e["src"] == F.col("ov"))
         .select("src", "dst", "outdeg")
+        .repartition("src")
         .cache()
     )
     links.count()
@@ -61,9 +65,9 @@ def pagerank(
         "v", F.col("outdeg").isNull().cast("int").alias("dang")
     ).cache()
 
-    # broadcast the rank vector into the links join while it fits (~16 B/row);
-    # beyond that AQE picks the shuffle join — the cluster-scale path
-    bcast_ranks = n * 32 < 512 * 1024 * 1024
+    # rank-vector join strategy (driver-known n, see _iter.mutable_side):
+    # broadcast while it fits, shuffled-hash above — never sort-merge,
+    # which would re-sort the cached links table every iteration
 
     ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "dang").localCheckpoint(True)
     start_iter = 0
@@ -90,7 +94,7 @@ def pagerank(
 
     for it in range(start_iter, max_iter):
         base = (1.0 - damping) / n + damping * dangling / n
-        r = F.broadcast(ranks) if bcast_ranks else ranks
+        r = mutable_side(ranks, n)
         # stacked union-aggregate: contribution rows and carry-over rows of
         # the old score collapse in ONE shuffle (no join back to the domain)
         contribs = (

@@ -113,7 +113,14 @@ def main():
         app_name=f"finish_s{scale}",
         master=f"local[{cores}]",
         shuffle_partitions=cores * 4,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # disk budget: zstd shuffle/spill blocks are ~35% smaller than
+            # lz4 on these int32 edge rows — the difference between the
+            # peak superstep fitting this box's free disk or ENOSPC
+            "spark.io.compression.codec": "zstd",
+            "spark.cleaner.periodicGC.interval": "30s",
+        },
     )
 
     t_con = time.time()
@@ -142,6 +149,10 @@ def main():
               es["dst"] == F.col("_dv"))
         .select("src", "dst", "sdeg", "ddeg")
         .repartition(cores * 4, "src")
+        # clustering by src makes the columnar cache's src/sdeg columns
+        # RLE/delta-encodable (hash partitioning is preserved; the sort adds
+        # ~nothing to construction but halves the cache's disk spill)
+        .sortWithinPartitions("src")
         .cache()
     )
     adj.count()
