@@ -58,9 +58,13 @@ def sssp(
     hops iterations; ``max_iter`` is a runaway bound, not a tuning knob.
     """
     spark = edges_w.sparkSession
-    adj = edges_w.select(
-        F.col("src"), F.col("dst"), F.col("w").cast("long").alias("w")
-    ).cache()
+    # static side cached pre-partitioned on the join key (see _iter): the
+    # per-iteration relax join then exchanges only the frontier
+    adj = (
+        edges_w.select(F.col("src"), F.col("dst"), F.col("w").cast("long").alias("w"))
+        .repartition("src")
+        .cache()
+    )
     dist = spark.createDataFrame([(int(root), 0)], "v long, dist long").localCheckpoint(
         eager=True
     )
@@ -70,14 +74,25 @@ def sssp(
         n_f = frontier.count()  # termination check doubles as broadcast gate
         if n_f == 0:
             break
-        f = F.broadcast(frontier) if n_f <= BROADCAST_FRONTIER_ROWS else frontier
+        # above the gate: shuffle_hash, never sort-merge — an un-hinted SMJ
+        # re-sorts the cached adjacency every iteration (see _iter)
+        f = (
+            F.broadcast(frontier)
+            if n_f <= BROADCAST_FRONTIER_ROWS
+            else frontier.hint("shuffle_hash")
+        )
         cand = (
             f.join(adj, f["v"] == adj["src"])
             .select(adj["dst"].alias("cv"), (f["dist"] + adj["w"]).alias("nd"))
             .groupBy("cv")
             .agg(F.min("nd").alias("nd"))  # map-side combined
         )
-        old = dist.select(F.col("v").alias("ov"), F.col("dist").alias("od"))
+        # both sides are freshly shuffled each iteration; the hint swaps the
+        # per-iteration double sort for a per-partition hash build (AQE may
+        # still downgrade to broadcast when the reached set is small)
+        old = dist.select(F.col("v").alias("ov"), F.col("dist").alias("od")).hint(
+            "shuffle_hash"
+        )
         frontier = (
             cand.join(old, cand["cv"] == old["ov"], "left")
             .filter(F.col("od").isNull() | (F.col("nd") < F.col("od")))
