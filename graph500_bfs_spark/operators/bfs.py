@@ -54,6 +54,7 @@ from graph500_bfs_spark.operators._direction import (
 )
 
 
+from graph500_bfs_spark.operators._iter import sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 # Driver-side broadcast gate (rows): frontiers/exclusion sets below this
@@ -155,217 +156,228 @@ def bfs(
     else:
         n_total, m_total = n_vertices, m_edges
 
-    own_adj = adjacency is None
-    adj = (adjacency if adjacency is not None else build_adjacency(edges_sym, deg)).cache()
-
-    metrics = BfsMetrics()
-    t0 = time.perf_counter()
-    scope = CheckpointScope(spark)
-
-    deg_b = deg.select(F.col("v").alias("dv"), F.col("deg"))
-    frontier = (
-        spark.createDataFrame([(int(root), int(root), 0)], "v long, parent long, level int")
-        .join(deg_b, F.col("v") == F.col("dv"), "left")
-        .select("v", "parent", "level", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .localCheckpoint(eager=True)
+    # rule 3 (_iter): shuffle width follows the data for the whole
+    # superstep loop — a driver loop multiplies task-launch overhead
+    # by its level count (never widens past the session conf)
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sized_partitions(spark, m_total, row_bytes=24)),
     )
-    pieces = [frontier]
-    level = 0
-    # shared growing/shrinking direction state machine (operators/_direction.py,
-    # reference bfs.hpp:3413-3457) — ONE implementation for all four strategies
-    guard = DirectionGuard(n_total, m_total, alpha, beta)
-    prev_frontier = None  # level-1 frontier — the exact anti-join set
-    prev_nq = 0  # exact size of prev_frontier (driver counter, for broadcast gating)
-    unvisited = None  # maintained incrementally while in bottom_up mode
-    row = frontier.agg(F.count("*"), F.sum("deg")).collect()[0]
-    nq, nq_edges = int(row[0]), int(row[1])
-    visited_total = nq  # rows in state (the driver-side visited counter)
+    try:
+        own_adj = adjacency is None
+        adj = (adjacency if adjacency is not None else build_adjacency(edges_sym, deg)).cache()
 
-    edges_since_cleanup = 0  # triggers SHUFFLE_CLEANUP_EDGE_BUDGET GCs
+        metrics = BfsMetrics()
+        t0 = time.perf_counter()
+        scope = CheckpointScope(spark)
 
-    if resume and checkpointer is not None and run_id is not None:
-        loaded = checkpointer.load_superstep(run_id)
-        if loaded is not None:
-            state_df, _step = loaded
-            state_df = (
-                state_df.join(deg_b, state_df["v"] == F.col("dv"), "left")
-                .select("v", "parent", "level", F.coalesce("deg", F.lit(0)).alias("deg"))
-                .localCheckpoint(eager=True)
-            )
-            level = int(state_df.agg(F.max("level")).collect()[0][0])
-            frontier = state_df.filter(F.col("level") == level).localCheckpoint(eager=True)
-            pieces = [state_df.filter(F.col("level") < level).localCheckpoint(eager=True), frontier]
-            if level > 0:
-                prev_frontier = state_df.filter(F.col("level") == level - 1).localCheckpoint(
-                    eager=True
-                )
-                prev_nq = int(prev_frontier.count())
-            row = (
-                pieces[0]
-                .agg(F.coalesce(F.sum("deg"), F.lit(0)))
-                .collect()[0]
-            )
-            guard.visited_edges = int(row[0])
-            fr = frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
-            nq, nq_edges = int(fr[0]), int(fr[1])
-            visited_total = int(state_df.count())
-            # rehydrate direction AND the one-way growing flag from the
-            # recorded superstep metrics — a resumed run that already took
-            # its single B2T switch must not re-enter bottom_up
-            guard.restore_from_metrics(checkpointer.metrics(run_id))
-            guard.prev_nq = prev_nq
-
-    while level < max_levels and nq > 0:
-        prev_direction = guard.direction
-        direction = guard.step(nq, nq_edges)
-        if prev_direction == "bottom_up" and direction == "top_down":
-            unvisited = None  # recomputed if bottom_up re-engages
-
-        ts = time.perf_counter()
-        # carry the level THROUGH the join instead of stamping a literal:
-        # literal-free plans keep the same generated code across supersteps
-        # (a changing lit(level) forces a whole-stage codegen recompile per
-        # level — measurable fixed cost in the superstep latency)
-        f_ids = frontier.select(F.col("v").alias("fv"), (F.col("level") + 1).alias("nlvl"))
-        # driver-placed broadcast hint: the driver knows the exact frontier
-        # size (the reference's allreduced counter); Catalyst's estimate for
-        # a checkpointed frontier can otherwise pick the multi-million-row
-        # adjacency as broadcast side, rebuilding that broadcast per level
-        f_small = (
-            F.broadcast(f_ids) if nq < BROADCAST_GATE else f_ids.hint("shuffle_hash")
-        )
-
-        if direction == "top_down":
-            # B2/B3: expand from the frontier; candidate carries the
-            # destination's degree so no per-level degree join is needed.
-            # adj is cached pre-partitioned by src → never reshuffled.
-            cand = adj.join(f_small, adj["src"] == F.col("fv")).select(
-                F.col("dst").alias("v"),
-                F.col("src").alias("parent"),
-                F.col("ddeg").alias("deg"),
-                F.col("nlvl"),
-            )
-            # deterministic first-writer-wins, map-side combined (hub-skew safe)
-            winners = cand.groupBy("v").agg(
-                F.min("parent").alias("parent"),
-                F.max("deg").alias("deg"),
-                F.max("nlvl").alias("nlvl"),
-            )
-            # BFS level property: a neighbor of a level-L vertex lies at
-            # level L-1, L, or L+1 — so excluding frontier ∪ prev_frontier
-            # leaves EXACTLY the new level.  This replaces the anti-join
-            # against the O(|V|) visited state (whose per-level broadcast/
-            # shuffle was the flat cost capping strong scaling).
-            exclude = frontier.select("v")
-            if prev_frontier is not None:
-                exclude = exclude.union(prev_frontier.select("v"))
-            # size-gated broadcast: near the direction switch the exclusion
-            # set (frontier ∪ prev_frontier) can be a large fraction of |V| —
-            # an unconditional broadcast hint there OOMs driver/executors at
-            # cluster scale.  The driver knows both sizes exactly, so reuse
-            # the same budget as the expand-side f_small gate: hinted
-            # broadcast below it, plain shuffle anti-join above.
-            exclude = exclude.withColumnRenamed("v", "xv")
-            if nq + prev_nq < BROADCAST_GATE:
-                exclude = F.broadcast(exclude)
-            else:
-                exclude = exclude.hint("shuffle_hash")
-            winners = winners.join(exclude, winners["v"] == F.col("xv"), "left_anti")
-        else:
-            # B6/B7: drive from the unvisited side.  unvisited is computed
-            # once at the direction switch, then shrunk incrementally —
-            # winners ⊆ unvisited, so no anti-join at all here.
-            if unvisited is None:
-                state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
-                unvisited = (
-                    deg.select("v")
-                    .join(
-                        state.select(F.col("v").alias("sv")).hint("shuffle_hash"),
-                        F.col("v") == F.col("sv"),
-                        "left_anti",
-                    )
-                    .localCheckpoint(eager=True)
-                )
-            uv = unvisited.select(F.col("v").alias("uv")).hint("shuffle_hash")
-            unvisited_edges = adj.join(uv, adj["src"] == F.col("uv"), "left_semi")
-            cand = unvisited_edges.join(f_small, unvisited_edges["dst"] == F.col("fv")).select(
-                F.col("src").alias("v"),
-                F.col("dst").alias("parent"),
-                F.col("sdeg").alias("deg"),
-                F.col("nlvl"),
-            )
-            winners = cand.groupBy("v").agg(
-                F.min("parent").alias("parent"),
-                F.max("deg").alias("deg"),
-                F.max("nlvl").alias("nlvl"),
-            )
-
-        obs = Observation(f"bfs_l{level}")
-        new_frontier = (
-            winners.select("v", "parent", F.col("nlvl").cast("int").alias("level"), "deg")
-            # the nq-stats Allreduce rides the SAME job as the frontier
-            # materialization via observed metrics — ONE action per superstep
-            .observe(obs, F.count(F.lit(1)).alias("nq"), F.sum("deg").alias("nq_edges"))
+        deg_b = deg.select(F.col("v").alias("dv"), F.col("deg"))
+        frontier = (
+            spark.createDataFrame([(int(root), int(root), 0)], "v long, parent long, level int")
+            .join(deg_b, F.col("v") == F.col("dv"), "left")
+            .select("v", "parent", "level", F.coalesce("deg", F.lit(0)).alias("deg"))
             .localCheckpoint(eager=True)
         )
-        stats = obs.get
-        new_nq, new_nq_edges = int(stats["nq"] or 0), int(stats["nq_edges"] or 0)
-        if unvisited is not None and direction == "bottom_up" and new_nq > 0:
-            nf = new_frontier.select(F.col("v").alias("nv"))
-            if new_nq < BROADCAST_GATE:
-                nf = F.broadcast(nf)
-            else:
-                nf = nf.hint("shuffle_hash")
-            unvisited = unvisited.join(
-                nf, unvisited["v"] == F.col("nv"), "left_anti"
-            ).localCheckpoint(eager=True)
+        pieces = [frontier]
+        level = 0
+        # shared growing/shrinking direction state machine (operators/_direction.py,
+        # reference bfs.hpp:3413-3457) — ONE implementation for all four strategies
+        guard = DirectionGuard(n_total, m_total, alpha, beta)
+        prev_frontier = None  # level-1 frontier — the exact anti-join set
+        prev_nq = 0  # exact size of prev_frontier (driver counter, for broadcast gating)
+        unvisited = None  # maintained incrementally while in bottom_up mode
+        row = frontier.agg(F.count("*"), F.sum("deg")).collect()[0]
+        nq, nq_edges = int(row[0]), int(row[1])
+        visited_total = nq  # rows in state (the driver-side visited counter)
 
-        elapsed = time.perf_counter() - ts
-        metrics.supersteps.append(
-            {
-                "superstep": level,
-                "direction": direction,
-                "frontier_repr": guard.frontier_repr,
-                "frontier_size": nq,
-                "frontier_edges": nq_edges,
-                "elapsed_s": elapsed,
-            }
-        )
-        pieces.append(new_frontier)
-        if checkpointer is not None:
-            full = reduce(DataFrame.unionByName, pieces).select("v", "parent", "level")
-            checkpointer.save_superstep(
-                run_id or f"bfs_{root}", level + 1, full, metrics.supersteps[-1]
+        edges_since_cleanup = 0  # triggers SHUFFLE_CLEANUP_EDGE_BUDGET GCs
+
+        if resume and checkpointer is not None and run_id is not None:
+            loaded = checkpointer.load_superstep(run_id)
+            if loaded is not None:
+                state_df, _step = loaded
+                state_df = (
+                    state_df.join(deg_b, state_df["v"] == F.col("dv"), "left")
+                    .select("v", "parent", "level", F.coalesce("deg", F.lit(0)).alias("deg"))
+                    .localCheckpoint(eager=True)
+                )
+                level = int(state_df.agg(F.max("level")).collect()[0][0])
+                frontier = state_df.filter(F.col("level") == level).localCheckpoint(eager=True)
+                pieces = [state_df.filter(F.col("level") < level).localCheckpoint(eager=True), frontier]
+                if level > 0:
+                    prev_frontier = state_df.filter(F.col("level") == level - 1).localCheckpoint(
+                        eager=True
+                    )
+                    prev_nq = int(prev_frontier.count())
+                row = (
+                    pieces[0]
+                    .agg(F.coalesce(F.sum("deg"), F.lit(0)))
+                    .collect()[0]
+                )
+                guard.visited_edges = int(row[0])
+                fr = frontier.agg(F.count("*"), F.coalesce(F.sum("deg"), F.lit(0))).collect()[0]
+                nq, nq_edges = int(fr[0]), int(fr[1])
+                visited_total = int(state_df.count())
+                # rehydrate direction AND the one-way growing flag from the
+                # recorded superstep metrics — a resumed run that already took
+                # its single B2T switch must not re-enter bottom_up
+                guard.restore_from_metrics(checkpointer.metrics(run_id))
+                guard.prev_nq = prev_nq
+
+        while level < max_levels and nq > 0:
+            prev_direction = guard.direction
+            direction = guard.step(nq, nq_edges)
+            if prev_direction == "bottom_up" and direction == "top_down":
+                unvisited = None  # recomputed if bottom_up re-engages
+
+            ts = time.perf_counter()
+            # carry the level THROUGH the join instead of stamping a literal:
+            # literal-free plans keep the same generated code across supersteps
+            # (a changing lit(level) forces a whole-stage codegen recompile per
+            # level — measurable fixed cost in the superstep latency)
+            f_ids = frontier.select(F.col("v").alias("fv"), (F.col("level") + 1).alias("nlvl"))
+            # driver-placed broadcast hint: the driver knows the exact frontier
+            # size (the reference's allreduced counter); Catalyst's estimate for
+            # a checkpointed frontier can otherwise pick the multi-million-row
+            # adjacency as broadcast side, rebuilding that broadcast per level
+            f_small = (
+                F.broadcast(f_ids) if nq < BROADCAST_GATE else f_ids.hint("shuffle_hash")
             )
-        prev_frontier = frontier
-        prev_nq = nq
-        frontier = new_frontier
-        edges_since_cleanup += nq_edges
-        nq, nq_edges = new_nq, new_nq_edges
-        visited_total += new_nq
-        level += 1
-        if edges_since_cleanup >= SHUFFLE_CLEANUP_EDGE_BUDGET:
-            # reclaim dead shuffle files from completed supersteps (see
-            # SHUFFLE_CLEANUP_EDGE_BUDGET above); only the checkpointed
-            # frontiers survive, so the cleaner can drop every exchange
-            # older than the previous level
-            spark.sparkContext._jvm.System.gc()
-            edges_since_cleanup = 0
 
-    metrics.total_time_s = time.perf_counter() - t0
-    # V6-style traversed-edge count: Σ deg(v) over visited / 2
-    metrics.traversed_edges = guard.visited_edges // 2
-    if own_deg:
-        deg.unpersist()
-    if own_adj:
-        adj.unpersist()
-    # consolidate the result into ONE fresh checkpoint, then free every
-    # per-superstep checkpoint this run created — without this, repeated
-    # roots accumulate O(levels) persisted RDDs per run and GC pressure
-    # degrades later runs (the reference reuses preallocated buffers per
-    # root for the same reason, mpi/bfs.hpp:315)
-    state = scope.finalize(reduce(DataFrame.unionByName, pieces).select("v", "parent", "level"))
-    return state, metrics
+            if direction == "top_down":
+                # B2/B3: expand from the frontier; candidate carries the
+                # destination's degree so no per-level degree join is needed.
+                # adj is cached pre-partitioned by src → never reshuffled.
+                cand = adj.join(f_small, adj["src"] == F.col("fv")).select(
+                    F.col("dst").alias("v"),
+                    F.col("src").alias("parent"),
+                    F.col("ddeg").alias("deg"),
+                    F.col("nlvl"),
+                )
+                # deterministic first-writer-wins, map-side combined (hub-skew safe)
+                winners = cand.groupBy("v").agg(
+                    F.min("parent").alias("parent"),
+                    F.max("deg").alias("deg"),
+                    F.max("nlvl").alias("nlvl"),
+                )
+                # BFS level property: a neighbor of a level-L vertex lies at
+                # level L-1, L, or L+1 — so excluding frontier ∪ prev_frontier
+                # leaves EXACTLY the new level.  This replaces the anti-join
+                # against the O(|V|) visited state (whose per-level broadcast/
+                # shuffle was the flat cost capping strong scaling).
+                exclude = frontier.select("v")
+                if prev_frontier is not None:
+                    exclude = exclude.union(prev_frontier.select("v"))
+                # size-gated broadcast: near the direction switch the exclusion
+                # set (frontier ∪ prev_frontier) can be a large fraction of |V| —
+                # an unconditional broadcast hint there OOMs driver/executors at
+                # cluster scale.  The driver knows both sizes exactly, so reuse
+                # the same budget as the expand-side f_small gate: hinted
+                # broadcast below it, plain shuffle anti-join above.
+                exclude = exclude.withColumnRenamed("v", "xv")
+                if nq + prev_nq < BROADCAST_GATE:
+                    exclude = F.broadcast(exclude)
+                else:
+                    exclude = exclude.hint("shuffle_hash")
+                winners = winners.join(exclude, winners["v"] == F.col("xv"), "left_anti")
+            else:
+                # B6/B7: drive from the unvisited side.  unvisited is computed
+                # once at the direction switch, then shrunk incrementally —
+                # winners ⊆ unvisited, so no anti-join at all here.
+                if unvisited is None:
+                    state = pieces[0] if len(pieces) == 1 else reduce(DataFrame.unionByName, pieces)
+                    unvisited = (
+                        deg.select("v")
+                        .join(
+                            state.select(F.col("v").alias("sv")).hint("shuffle_hash"),
+                            F.col("v") == F.col("sv"),
+                            "left_anti",
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                uv = unvisited.select(F.col("v").alias("uv")).hint("shuffle_hash")
+                unvisited_edges = adj.join(uv, adj["src"] == F.col("uv"), "left_semi")
+                cand = unvisited_edges.join(f_small, unvisited_edges["dst"] == F.col("fv")).select(
+                    F.col("src").alias("v"),
+                    F.col("dst").alias("parent"),
+                    F.col("sdeg").alias("deg"),
+                    F.col("nlvl"),
+                )
+                winners = cand.groupBy("v").agg(
+                    F.min("parent").alias("parent"),
+                    F.max("deg").alias("deg"),
+                    F.max("nlvl").alias("nlvl"),
+                )
+
+            obs = Observation(f"bfs_l{level}")
+            new_frontier = (
+                winners.select("v", "parent", F.col("nlvl").cast("int").alias("level"), "deg")
+                # the nq-stats Allreduce rides the SAME job as the frontier
+                # materialization via observed metrics — ONE action per superstep
+                .observe(obs, F.count(F.lit(1)).alias("nq"), F.sum("deg").alias("nq_edges"))
+                .localCheckpoint(eager=True)
+            )
+            stats = obs.get
+            new_nq, new_nq_edges = int(stats["nq"] or 0), int(stats["nq_edges"] or 0)
+            if unvisited is not None and direction == "bottom_up" and new_nq > 0:
+                nf = new_frontier.select(F.col("v").alias("nv"))
+                if new_nq < BROADCAST_GATE:
+                    nf = F.broadcast(nf)
+                else:
+                    nf = nf.hint("shuffle_hash")
+                unvisited = unvisited.join(
+                    nf, unvisited["v"] == F.col("nv"), "left_anti"
+                ).localCheckpoint(eager=True)
+
+            elapsed = time.perf_counter() - ts
+            metrics.supersteps.append(
+                {
+                    "superstep": level,
+                    "direction": direction,
+                    "frontier_repr": guard.frontier_repr,
+                    "frontier_size": nq,
+                    "frontier_edges": nq_edges,
+                    "elapsed_s": elapsed,
+                }
+            )
+            pieces.append(new_frontier)
+            if checkpointer is not None:
+                full = reduce(DataFrame.unionByName, pieces).select("v", "parent", "level")
+                checkpointer.save_superstep(
+                    run_id or f"bfs_{root}", level + 1, full, metrics.supersteps[-1]
+                )
+            prev_frontier = frontier
+            prev_nq = nq
+            frontier = new_frontier
+            edges_since_cleanup += nq_edges
+            nq, nq_edges = new_nq, new_nq_edges
+            visited_total += new_nq
+            level += 1
+            if edges_since_cleanup >= SHUFFLE_CLEANUP_EDGE_BUDGET:
+                # reclaim dead shuffle files from completed supersteps (see
+                # SHUFFLE_CLEANUP_EDGE_BUDGET above); only the checkpointed
+                # frontiers survive, so the cleaner can drop every exchange
+                # older than the previous level
+                spark.sparkContext._jvm.System.gc()
+                edges_since_cleanup = 0
+
+        metrics.total_time_s = time.perf_counter() - t0
+        # V6-style traversed-edge count: Σ deg(v) over visited / 2
+        metrics.traversed_edges = guard.visited_edges // 2
+        if own_deg:
+            deg.unpersist()
+        if own_adj:
+            adj.unpersist()
+        # consolidate the result into ONE fresh checkpoint, then free every
+        # per-superstep checkpoint this run created — without this, repeated
+        # roots accumulate O(levels) persisted RDDs per run and GC pressure
+        # degrades later runs (the reference reuses preallocated buffers per
+        # root for the same reason, mpi/bfs.hpp:315)
+        state = scope.finalize(reduce(DataFrame.unionByName, pieces).select("v", "parent", "level"))
+        return state, metrics
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
 
 
 def complete_result(state: DataFrame, vertices: DataFrame) -> DataFrame:

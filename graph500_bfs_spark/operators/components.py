@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph500_bfs_spark.operators._iter import mutable_side
+from graph500_bfs_spark.operators._iter import mutable_side, sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
@@ -42,86 +42,97 @@ def connected_components(
     # static side cached pre-partitioned on the join key (see _iter): each
     # round's gather join then exchanges only the label vector — the edge
     # table is shuffled once here, never again
-    e = edges_sym.select("src", "dst").repartition("src").cache()
-    labels = (
-        e.select(F.col("src").alias("v"))
-        .union(e.select(F.col("dst").alias("v")))
-        .distinct()
-        .select("v", F.col("v").alias("component"))
-        .localCheckpoint(eager=True)
+    spark = edges_sym.sparkSession
+    # rule 3 (_iter): shuffle width follows the data for the loop
+    m = edges_sym.count()
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sized_partitions(spark, m, row_bytes=16)),
     )
-    n = labels.count()
-    rnd = 0
-    if resume and checkpointer is not None and run_id is not None:
-        loaded = checkpointer.load_superstep(run_id)
-        if loaded is not None:
-            saved, rnd = loaded
-            labels = saved.select("v", "component").localCheckpoint(eager=True)
-    while max_iter > 0:
-        max_iter -= 1
-        rnd += 1
-        nbr_min = (
-            e.join(
-                mutable_side(labels.withColumnRenamed("v", "lv"), n),
-                e["src"] == F.col("lv"),
-            )
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("component").alias("nbr"))
+    try:
+        e = edges_sym.select("src", "dst").repartition("src").cache()
+        labels = (
+            e.select(F.col("src").alias("v"))
+            .union(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .select("v", F.col("v").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        # gather step materialized once (it feeds BOTH sides of the
-        # pointer-doubling self-join — without this it would evaluate twice)
-        merged = (
-            labels.join(
-                mutable_side(nbr_min.withColumnRenamed("v", "nv"), n),
-                labels["v"] == F.col("nv"),
-                "left",
+        n = labels.count()
+        rnd = 0
+        if resume and checkpointer is not None and run_id is not None:
+            loaded = checkpointer.load_superstep(run_id)
+            if loaded is not None:
+                saved, rnd = loaded
+                labels = saved.select("v", "component").localCheckpoint(eager=True)
+        while max_iter > 0:
+            max_iter -= 1
+            rnd += 1
+            nbr_min = (
+                e.join(
+                    mutable_side(labels.withColumnRenamed("v", "lv"), n),
+                    e["src"] == F.col("lv"),
+                )
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("component").alias("nbr"))
             )
-            .select(
-                labels["v"],
-                F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias(
-                    "component"
-                ),
-                labels["component"].alias("old"),
+            # gather step materialized once (it feeds BOTH sides of the
+            # pointer-doubling self-join — without this it would evaluate twice)
+            merged = (
+                labels.join(
+                    mutable_side(nbr_min.withColumnRenamed("v", "nv"), n),
+                    labels["v"] == F.col("nv"),
+                    "left",
+                )
+                .select(
+                    labels["v"],
+                    F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias(
+                        "component"
+                    ),
+                    labels["component"].alias("old"),
+                )
+                .localCheckpoint(eager=True)  # action 1
             )
-            .localCheckpoint(eager=True)  # action 1
-        )
-        # pointer doubling: component ← label(component), then fused change
-        # count in the same pass (action 2) — two actions per round total
-        short = (
-            merged.alias("a")
-            .join(
-                mutable_side(
-                    merged.select(
-                        F.col("v").alias("bv"), F.col("component").alias("bc")
-                    ).alias("b"),
-                    n,
-                ),
-                F.col("a.component") == F.col("bv"),
-                "left",
+            # pointer doubling: component ← label(component), then fused change
+            # count in the same pass (action 2) — two actions per round total
+            short = (
+                merged.alias("a")
+                .join(
+                    mutable_side(
+                        merged.select(
+                            F.col("v").alias("bv"), F.col("component").alias("bc")
+                        ).alias("b"),
+                        n,
+                    ),
+                    F.col("a.component") == F.col("bv"),
+                    "left",
+                )
+                .select(
+                    F.col("a.v").alias("v"),
+                    F.least(F.col("a.component"), F.coalesce(F.col("bc"), F.col("a.component"))).alias(
+                        "component"
+                    ),
+                    F.col("a.old").alias("old"),
+                )
+                .localCheckpoint(eager=True)  # action 2
             )
-            .select(
-                F.col("a.v").alias("v"),
-                F.least(F.col("a.component"), F.coalesce(F.col("bc"), F.col("a.component"))).alias(
-                    "component"
-                ),
-                F.col("a.old").alias("old"),
-            )
-            .localCheckpoint(eager=True)  # action 2
-        )
-        changed = short.agg(
-            F.sum((F.col("component") != F.col("old")).cast("long"))
-        ).collect()[0][0]
-        labels = short.drop("old")
-        if checkpointer is not None:
-            checkpointer.save_superstep(
-                run_id or "cc", rnd, labels,
-                {"superstep": rnd, "direction": "cc_round", "frontier_size": 0,
-                 "frontier_edges": 0, "elapsed_s": 0.0, "changed": int(changed or 0)},
-            )
-        if int(changed or 0) == 0:
-            break
-    e.unpersist()
-    return scope.finalize(labels)
+            changed = short.agg(
+                F.sum((F.col("component") != F.col("old")).cast("long"))
+            ).collect()[0][0]
+            labels = short.drop("old")
+            if checkpointer is not None:
+                checkpointer.save_superstep(
+                    run_id or "cc", rnd, labels,
+                    {"superstep": rnd, "direction": "cc_round", "frontier_size": 0,
+                     "frontier_edges": 0, "elapsed_s": 0.0, "changed": int(changed or 0)},
+                )
+            if int(changed or 0) == 0:
+                break
+        e.unpersist()
+        return scope.finalize(labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
 
 
 def prune_trees(edges_sym: DataFrame, max_iter: int = 32) -> tuple[DataFrame, DataFrame]:

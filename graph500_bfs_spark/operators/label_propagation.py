@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph500_bfs_spark.operators._iter import mutable_side
+from graph500_bfs_spark.operators._iter import mutable_side, sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
@@ -24,44 +24,55 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
     scope = CheckpointScope(edges_sym.sparkSession)
     # static side cached pre-partitioned on the join key (see _iter): each
     # round's gather join then exchanges only the label vector
-    e = edges_sym.select("src", "dst").repartition("src").cache()
-    labels = (
-        e.select(F.col("src").alias("v"))
-        .union(e.select(F.col("dst").alias("v")))
-        .distinct()
-        .select("v", F.col("v").alias("label"))
-        .localCheckpoint(eager=True)
+    spark = edges_sym.sparkSession
+    # rule 3 (_iter): shuffle width follows the data for the loop
+    m = edges_sym.count()
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sized_partitions(spark, m, row_bytes=16)),
     )
-    n = labels.count()
-    for _ in range(max_iter):
-        counts = (
-            e.join(
-                mutable_side(labels.withColumnRenamed("v", "lv"), n),
-                e["src"] == F.col("lv"),
+    try:
+        e = edges_sym.select("src", "dst").repartition("src").cache()
+        labels = (
+            e.select(F.col("src").alias("v"))
+            .union(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .select("v", F.col("v").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n = labels.count()
+        for _ in range(max_iter):
+            counts = (
+                e.join(
+                    mutable_side(labels.withColumnRenamed("v", "lv"), n),
+                    e["src"] == F.col("lv"),
+                )
+                .groupBy(F.col("dst").alias("v"), F.col("label"))
+                .agg(F.count("*").alias("cnt"))
             )
-            .groupBy(F.col("dst").alias("v"), F.col("label"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        # argmax with min-label tie-break via max_by on a (cnt, -label) pair:
-        # struct ordering compares cnt first, then -label, so higher count
-        # wins and, within equal counts, the smaller label wins.
-        new_labels = counts.groupBy("v").agg(
-            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("label")
-        )
-        merged = (
-            labels.select(F.col("v"), F.col("label").alias("old"))
-            .join(
-                mutable_side(new_labels.withColumnRenamed("v", "nv"), n),
-                F.col("v") == F.col("nv"),
-                "left",
+            # argmax with min-label tie-break via max_by on a (cnt, -label) pair:
+            # struct ordering compares cnt first, then -label, so higher count
+            # wins and, within equal counts, the smaller label wins.
+            new_labels = counts.groupBy("v").agg(
+                F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("label")
             )
-            .select("v", F.coalesce(F.col("label"), F.col("old")).alias("label"), F.col("old"))
-            .localCheckpoint(eager=True)  # action 1: materialize round
-        )
-        # action 2: fused scalar change count on materialized data
-        changed = merged.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
-        labels = merged.drop("old")
-        if int(changed or 0) == 0:
-            break
-    e.unpersist()
-    return scope.finalize(labels)
+            merged = (
+                labels.select(F.col("v"), F.col("label").alias("old"))
+                .join(
+                    mutable_side(new_labels.withColumnRenamed("v", "nv"), n),
+                    F.col("v") == F.col("nv"),
+                    "left",
+                )
+                .select("v", F.coalesce(F.col("label"), F.col("old")).alias("label"), F.col("old"))
+                .localCheckpoint(eager=True)  # action 1: materialize round
+            )
+            # action 2: fused scalar change count on materialized data
+            changed = merged.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
+            labels = merged.drop("old")
+            if int(changed or 0) == 0:
+                break
+        e.unpersist()
+        return scope.finalize(labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)

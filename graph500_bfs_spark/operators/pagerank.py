@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph500_bfs_spark.operators._iter import mutable_side
+from graph500_bfs_spark.operators._iter import mutable_side, sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
 
@@ -51,93 +51,105 @@ def pagerank(
         .cache()
     )
     n = vertices.count()
-    outdeg = e.groupBy(F.col("src").alias("ov")).agg(F.count("*").alias("outdeg"))
-    # pre-partitioned on the join key: the per-iteration rank join then
-    # exchanges only the rank vector — links is shuffled exactly once, here
-    links = (
-        e.join(outdeg, e["src"] == F.col("ov"))
-        .select("src", "dst", "outdeg")
-        .repartition("src")
-        .cache()
+    spark = edges.sparkSession
+    # rule 3 (_iter): shuffle width follows the data for the loop —
+    # m comes from a map-only scan, before the static side is built
+    m = e.count()
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sized_partitions(spark, m, row_bytes=24)),
     )
-    links.count()
-    vdom = vertices.join(outdeg, vertices["v"] == F.col("ov"), "left").select(
-        "v", F.col("outdeg").isNull().cast("int").alias("dang")
-    ).cache()
-
-    # rank-vector join strategy (driver-known n, see _iter.mutable_side):
-    # broadcast while it fits, shuffled-hash above — never sort-merge,
-    # which would re-sort the cached links table every iteration
-
-    ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "dang").localCheckpoint(True)
-    start_iter = 0
-    if resume and checkpointer is not None and run_id is not None:
-        loaded = checkpointer.load_superstep(run_id)
-        if loaded is not None:
-            saved, step = loaded
-            ranks = (
-                saved.select("v", "score")
-                .join(vdom.withColumnRenamed("v", "dv"), F.col("v") == F.col("dv"))
-                .select("v", "score", "dang")
-                .localCheckpoint(eager=True)
-            )
-            start_iter = step
-    n_dangling = vdom.filter("dang = 1").count()
-    dangling = n_dangling / n
-    # fixed-iteration mode on a dangling-free graph needs NO scalar action
-    # per iteration at all — the checkpoint materialization is the only job
-    skip_scalar = tol is None and n_dangling == 0
-    if n_dangling and start_iter:
-        dangling = float(
-            ranks.filter("dang = 1").agg(F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
+    try:
+        outdeg = e.groupBy(F.col("src").alias("ov")).agg(F.count("*").alias("outdeg"))
+        # pre-partitioned on the join key: the per-iteration rank join then
+        # exchanges only the rank vector — links is shuffled exactly once, here
+        links = (
+            e.join(outdeg, e["src"] == F.col("ov"))
+            .select("src", "dst", "outdeg")
+            .repartition("src")
+            .cache()
         )
+        links.count()
+        vdom = vertices.join(outdeg, vertices["v"] == F.col("ov"), "left").select(
+            "v", F.col("outdeg").isNull().cast("int").alias("dang")
+        ).cache()
 
-    for it in range(start_iter, max_iter):
-        base = (1.0 - damping) / n + damping * dangling / n
-        r = mutable_side(ranks, n)
-        # stacked union-aggregate: contribution rows and carry-over rows of
-        # the old score collapse in ONE shuffle (no join back to the domain)
-        contribs = (
-            links.join(r.withColumnRenamed("v", "rv"), links["src"] == F.col("rv"))
-            .select(
-                F.col("dst").alias("v"),
-                (F.col("score") / F.col("outdeg")).alias("c"),
-                F.lit(0.0).alias("o"),
-                F.lit(0).alias("dang"),
+        # rank-vector join strategy (driver-known n, see _iter.mutable_side):
+        # broadcast while it fits, shuffled-hash above — never sort-merge,
+        # which would re-sort the cached links table every iteration
+
+        ranks = vdom.select("v", F.lit(1.0 / n).alias("score"), "dang").localCheckpoint(True)
+        start_iter = 0
+        if resume and checkpointer is not None and run_id is not None:
+            loaded = checkpointer.load_superstep(run_id)
+            if loaded is not None:
+                saved, step = loaded
+                ranks = (
+                    saved.select("v", "score")
+                    .join(vdom.withColumnRenamed("v", "dv"), F.col("v") == F.col("dv"))
+                    .select("v", "score", "dang")
+                    .localCheckpoint(eager=True)
+                )
+                start_iter = step
+        n_dangling = vdom.filter("dang = 1").count()
+        dangling = n_dangling / n
+        # fixed-iteration mode on a dangling-free graph needs NO scalar action
+        # per iteration at all — the checkpoint materialization is the only job
+        skip_scalar = tol is None and n_dangling == 0
+        if n_dangling and start_iter:
+            dangling = float(
+                ranks.filter("dang = 1").agg(F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
             )
-        )
-        carry = ranks.select("v", F.lit(0.0).alias("c"), F.col("score").alias("o"), "dang")
-        new_ranks = (
-            contribs.unionByName(carry)
-            .groupBy("v")
-            .agg(
-                (F.lit(base) + F.lit(damping) * F.sum("c")).alias("score"),
-                F.sum("o").alias("old"),
-                F.max("dang").alias("dang"),
+
+        for it in range(start_iter, max_iter):
+            base = (1.0 - damping) / n + damping * dangling / n
+            r = mutable_side(ranks, n)
+            # stacked union-aggregate: contribution rows and carry-over rows of
+            # the old score collapse in ONE shuffle (no join back to the domain)
+            contribs = (
+                links.join(r.withColumnRenamed("v", "rv"), links["src"] == F.col("rv"))
+                .select(
+                    F.col("dst").alias("v"),
+                    (F.col("score") / F.col("outdeg")).alias("c"),
+                    F.lit(0.0).alias("o"),
+                    F.lit(0).alias("dang"),
+                )
             )
-            .localCheckpoint(eager=True)  # action 1: ONE shuffle
-        )
-        if skip_scalar:
-            delta = float("inf")
-        else:
-            # action 2: fused scalar (convergence delta + next dangling mass)
-            row = new_ranks.agg(
-                F.sum(F.abs(F.col("score") - F.col("old"))).alias("delta"),
-                F.coalesce(F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)).alias(
-                    "dangling"
-                ),
-            ).collect()[0]
-            delta, dangling = float(row["delta"]), float(row["dangling"])
-        ranks = new_ranks.drop("old")
-        if checkpointer is not None:
-            checkpointer.save_superstep(
-                run_id or "pagerank", it + 1, ranks.drop("dang"),
-                {"superstep": it, "direction": "pagerank", "frontier_size": n,
-                 "frontier_edges": 0, "elapsed_s": 0.0, "delta": delta},
+            carry = ranks.select("v", F.lit(0.0).alias("c"), F.col("score").alias("o"), "dang")
+            new_ranks = (
+                contribs.unionByName(carry)
+                .groupBy("v")
+                .agg(
+                    (F.lit(base) + F.lit(damping) * F.sum("c")).alias("score"),
+                    F.sum("o").alias("old"),
+                    F.max("dang").alias("dang"),
+                )
+                .localCheckpoint(eager=True)  # action 1: ONE shuffle
             )
-        if tol is not None and delta < tol:
-            break
-    vertices.unpersist()
-    links.unpersist()
-    vdom.unpersist()
-    return scope.finalize(ranks.select("v", "score"))
+            if skip_scalar:
+                delta = float("inf")
+            else:
+                # action 2: fused scalar (convergence delta + next dangling mass)
+                row = new_ranks.agg(
+                    F.sum(F.abs(F.col("score") - F.col("old"))).alias("delta"),
+                    F.coalesce(F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)).alias(
+                        "dangling"
+                    ),
+                ).collect()[0]
+                delta, dangling = float(row["delta"]), float(row["dangling"])
+            ranks = new_ranks.drop("old")
+            if checkpointer is not None:
+                checkpointer.save_superstep(
+                    run_id or "pagerank", it + 1, ranks.drop("dang"),
+                    {"superstep": it, "direction": "pagerank", "frontier_size": n,
+                     "frontier_edges": 0, "elapsed_s": 0.0, "delta": delta},
+                )
+            if tol is not None and delta < tol:
+                break
+        vertices.unpersist()
+        links.unpersist()
+        vdom.unpersist()
+        return scope.finalize(ranks.select("v", "score"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
