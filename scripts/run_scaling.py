@@ -6,7 +6,7 @@ IDENTICAL input and reports throughput at both plus scaling efficiency —
 the in-sandbox stand-in for N vs 4N executors (the real cluster path is
 ``spark-submit --py-files`` with the same code; see README).
 
-Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode]
+Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode] [reps]
   mode: join (DataFrame BFS, default) | shm (shared-memory CSR BFS)
         | ms (multi-source batch, shared-dir shipping)
         | msspark (multi-source batch, sc.addFile/SparkFiles shipping —
@@ -150,19 +150,31 @@ def main():
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     mode = sys.argv[5] if len(sys.argv) > 5 else "join"
-    results = {}
-    for cores in (n_lo, n_hi):
-        t0 = time.time()
-        results[cores] = run_one(cores, scale, n_roots, mode)
-        print(f"local[{cores}]: TEPS={results[cores]['TEPS']:.3e} "
-              f"({time.time()-t0:.0f}s wall)")
-    t_lo, t_hi = results[n_lo]["TEPS"], results[n_hi]["TEPS"]
+    reps = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    # This VM's throughput swings by 2× on timescales of tens of minutes
+    # (documented in BENCH/BASELINE.md §noise), so sequential legs can land
+    # in different noise regimes and fake (or hide) scaling.  With reps > 1
+    # the legs INTERLEAVE (lo, hi, lo, hi, ...) so both core counts sample
+    # the same windows, and the summary uses the per-leg MEDIAN.
+    results: dict[int, dict] = {}
+    samples: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    for rep in range(reps):
+        for cores in (n_lo, n_hi):
+            t0 = time.time()
+            r = run_one(cores, scale, n_roots, mode)
+            samples[cores].append(r["TEPS"])
+            results[cores] = r  # last rep's detail rows
+            print(f"rep{rep} local[{cores}]: TEPS={r['TEPS']:.3e} "
+                  f"({time.time()-t0:.0f}s wall)", flush=True)
+    med = {c: sorted(v)[len(v) // 2] for c, v in samples.items()}
+    t_lo, t_hi = med[n_lo], med[n_hi]
     eff = t_hi / ((n_hi / n_lo) * t_lo)
     gteps = t_hi / 1e9
     out = REPO / "BENCH" / f"scaling_{mode}_s{scale}_r{n_roots}_{n_lo}v{n_hi}.json"
     out.parent.mkdir(exist_ok=True)
-    out.write_text(json.dumps({"results": results, "efficiency": eff, "gteps_hi": gteps},
-                              indent=2))
+    out.write_text(json.dumps({"results": results, "efficiency": eff, "gteps_hi": gteps,
+                               "reps": reps, "teps_samples": samples,
+                               "teps_median": med}, indent=2))
     print(f"efficiency={eff:.3f} gteps_hi={gteps:.4f} → {out}")
 
 
