@@ -415,3 +415,31 @@ def test_kmeans_trained_at_rest_prunes_and_matches_in_memory(spark, tmp_path):
 
     m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("centroid" in f for f in m), plan[:2000]
+
+
+def test_sized_partitions_math(spark):
+    from graph500_bfs_spark.operators._iter import (
+        TARGET_PARTITION_BYTES,
+        sized_partitions,
+        sized_shuffle,
+    )
+
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = max(1, spark.sparkContext.defaultParallelism // 4)
+    # tiny data → the parallelism floor, never 1-2 serializing partitions
+    assert sized_partitions(spark, 1000) == min(conf_p, floor)
+    # huge data → capped at the session conf (explicit configs win)
+    assert sized_partitions(spark, 10**12, row_bytes=24) == conf_p
+    # mid data → ceil(bytes/target) once above the floor
+    rows = (TARGET_PARTITION_BYTES // 16) * floor + 1
+    assert sized_partitions(spark, rows) == min(conf_p, floor + 1)
+    # the context manager scopes and restores the conf, even on error
+    with sized_shuffle(spark, 1000) as p:
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == p
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == conf_p
+    try:
+        with sized_shuffle(spark, 1000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == conf_p
