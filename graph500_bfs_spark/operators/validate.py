@@ -126,3 +126,75 @@ def count_traversed_edges(result: DataFrame, edges_sym: DataFrame) -> int:
         edges_sym.join(reached, edges_sym["src"] == reached["v"], "left_semi").count()
     )
     return n // 2
+
+
+def validate_sssp(dist: DataFrame, edges_w: DataFrame, root: int) -> dict[str, int]:
+    """Correctness certificate for weighted SSSP, in the V1-V5 property style
+    (the reference validates only unweighted BFS, validate.hpp:607-976; its
+    SSSP is an empty stub — this supplies the weighted analog).
+
+    For positive integer weights, W1-W5 jointly PROVE ``dist`` is the exact
+    shortest-distance table, not merely plausible:
+
+    * W1 dist(root)=0 and root is the unique zero (w >= 1 forbids others);
+    * W2 no negative distance;
+    * W3 fixpoint — no relaxable edge among reached vertices
+      (dist(dst) <= dist(src)+w), which telescopes to dist <= true distance;
+    * W4 witness — every non-root reached vertex has a TIGHT in-edge
+      (dist(dst) == dist(src)+w); with W1/W2 positivity, tight predecessors
+      strictly decrease dist and must terminate at the root, so
+      dist >= true distance;
+    * W5 closure — no edge leaves the reached set (else its head would be
+      reachable and absent).
+
+    ``dist`` schema: (v, dist) with unreachable vertices absent (the sssp()
+    output form).  ``edges_w``: directed (src, dst, w) rows, symmetrized for
+    undirected semantics — the same table handed to sssp().
+    Each check is one DataFrame action over vertex-keyed joins; nothing here
+    collects more than the root row, so the certificate runs at data scale.
+    """
+    d = dist.cache()
+    e = edges_w.select("src", "dst", F.col("w").cast("long").alias("w"))
+    du = d.select(F.col("v").alias("u"), F.col("dist").alias("du"))
+    dv = d.select(F.col("v").alias("vv"), F.col("dist").alias("dv"))
+    out: dict[str, int] = {}
+
+    root_rows = d.filter(F.col("v") == root).collect()
+    out["w1_root_zero"] = (
+        0 if (len(root_rows) == 1 and root_rows[0]["dist"] == 0) else 1
+    )
+    out["w1_zero_unique"] = d.filter(
+        (F.col("dist") == 0) & (F.col("v") != root)
+    ).count()
+    out["w2_nonneg"] = d.filter(F.col("dist") < 0).count()
+
+    # edges with a reached tail, annotated with both endpoint distances
+    j = (
+        e.join(du, e["src"] == du["u"])
+        .join(dv, e["dst"] == dv["vv"], "left")
+        .select("src", "dst", "w", "du", "dv")
+        .cache()
+    )
+    out["w3_fixpoint"] = j.filter(
+        F.col("dv").isNotNull() & (F.col("dv") > F.col("du") + F.col("w"))
+    ).count()
+    out["w5_closure"] = j.filter(F.col("dv").isNull()).count()
+    tight_heads = (
+        j.filter(F.col("dv") == F.col("du") + F.col("w"))
+        .select(F.col("dst").alias("tv"))
+        .distinct()
+    )
+    out["w4_witness"] = (
+        d.filter(F.col("v") != root)
+        .join(tight_heads, F.col("v") == F.col("tv"), "left_anti")
+        .count()
+    )
+    j.unpersist()
+    d.unpersist()
+    return out
+
+
+def assert_valid_sssp(dist: DataFrame, edges_w: DataFrame, root: int) -> None:
+    checks = validate_sssp(dist, edges_w, root)
+    bad = {k: v for k, v in checks.items() if v != 0}
+    assert not bad, f"SSSP validation failed: {bad}"

@@ -356,6 +356,57 @@ def test_sssp_weighted_bounds_and_improvement(spark):
     assert all(lv[v] <= dd[v] <= 7 * lv[v] for v in dd)
     # some vertex's shortest weighted path uses MORE hops than its level
     assert any(dd[v] < lv[v] * 7 and dd[v] > lv[v] for v in dd)
+    # the W1-W5 certificate proves exactness (not just the bounds above)
+    from graph500_bfs_spark.operators.validate import assert_valid_sssp
+
+    assert_valid_sssp(dist, bi, root)
+
+
+def test_sssp_validation_catches_corruption(spark):
+    """validate_sssp is a real certificate: a correct table passes with all
+    zeros, and each corruption class fires the check that proves it wrong."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.prep import out_degrees
+    from graph500_bfs_spark.operators.sssp import sssp
+    from graph500_bfs_spark.operators.validate import validate_sssp
+    from graph500_bfs_spark.sources.kronecker import kronecker_edges_weighted
+
+    ew = kronecker_edges_weighted(spark, scale=8, edgefactor=8, max_weight=5)
+    pairs = ew.filter(F.col("src") != F.col("dst")).groupBy("src", "dst").agg(
+        F.min("w").alias("w")
+    )
+    bi = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).groupBy("src", "dst").agg(F.min("w").alias("w")).cache()
+    deg = out_degrees(bi.select("src", "dst"))
+    root = int(deg.orderBy(F.desc("deg"), F.asc("v")).limit(1).collect()[0]["v"])
+    dist, _ = sssp(bi, root)
+
+    assert all(v == 0 for v in validate_sssp(dist, bi, root).values())
+
+    # pick a reached non-root vertex to corrupt
+    victim = int(
+        dist.filter(F.col("v") != root).orderBy("v").limit(1).collect()[0]["v"]
+    )
+
+    # inflate one distance: its (previously tight) in-edge becomes relaxable
+    inflated = dist.withColumn(
+        "dist", F.when(F.col("v") == victim, F.col("dist") + 1).otherwise(F.col("dist"))
+    )
+    assert validate_sssp(inflated, bi, root)["w3_fixpoint"] > 0
+
+    # drop a reached vertex: some edge now leaves the reached set
+    assert validate_sssp(dist.filter(F.col("v") != victim), bi, root)["w5_closure"] > 0
+
+    # lose the root row: W1 fires
+    assert validate_sssp(dist.filter(F.col("v") != root), bi, root)["w1_root_zero"] == 1
+
+    # a second zero-distance vertex: W1 uniqueness fires
+    two_zeros = dist.withColumn(
+        "dist", F.when(F.col("v") == victim, F.lit(0)).otherwise(F.col("dist"))
+    )
+    assert validate_sssp(two_zeros, bi, root)["w1_zero_unique"] > 0
 
 
 def test_bfs_above_gate_shuffle_hash_path(spark, monkeypatch):
