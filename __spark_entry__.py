@@ -33,6 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ship="spark" + executor-side merge="spark") against the SAME
         # recursive-SQL oracle — strategy equivalence checked by the driver
         "bfs_levels_msbfs": gate.q_bfs_levels_msbfs,
+        # round 5: the deterministic min-parent TREE value-hash-checked
+        # against an independent SQL oracle (levels alone were before)
+        "bfs_parents": gate.q_bfs_parents,
         # round 5: weighted SSSP (frontier Bellman-Ford, integer weights)
         "sssp_dist": gate.q_sssp_dist,
         "connected_components_snr": gate.q_connected_components_snr,

@@ -101,6 +101,25 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("v", "level")
 
 
+def q_bfs_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/B3: the BFS TREE itself, not just levels.  bfs() strengthens the
+    reference's race-nondeterministic first-writer-wins (bfs_state.hpp
+    visit races) to the canonical deterministic tree
+    parent(v) = min{u ~ v : level(u) = level(v)-1}, which is exactly
+    SQL-expressible — so the tree the validator (V1-V5) certifies is ALSO
+    value-hash-checked against an independent oracle, on both the top-down
+    and bottom-up code paths (direction optimization switches mid-run on
+    this input)."""
+    from graph500_bfs_spark.operators.bfs import bfs
+    from graph500_bfs_spark.operators.prep import symmetrize
+
+    e0 = lineitem_bipartite_edges(spark, sf_dir)
+    es = symmetrize(e0).cache()
+    root = e0.agg(F.min("src")).collect()[0][0]
+    state, _ = bfs(es, int(root))
+    return state.select("v", "level", "parent")
+
+
 def q_bfs_levels_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same traversal as bfs_levels, but through the MULTI-SOURCE
     shared-state strategy (operators/msbfs.py) in the round-4 fully
@@ -510,6 +529,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical root, identical min-parent level semantics — only the physical
 # strategy differs (strategy equivalence checked by the driver gate)
 ORACLES["bfs_levels_msbfs"] = ORACLES["bfs_levels"]
+
+# the deterministic min-parent tree: parent(v) = min neighbor one level up
+ORACLES["bfs_parents"] = (
+    "WITH RECURSIVE "
+    + _EDGES_BI
+    + """,
+root AS (SELECT MIN(src) AS r FROM edges0),
+bfs(v, level) AS (
+  SELECT r, 0 FROM root
+  UNION
+  SELECT e.dst, b.level + 1 FROM bfs b JOIN edges e ON e.src = b.v WHERE b.level < 64
+),
+lv AS (SELECT v, MIN(level) AS level FROM bfs GROUP BY v)
+SELECT l.v, CAST(l.level AS INTEGER) AS level, MIN(p.v) AS parent
+FROM lv l
+JOIN edges e ON e.dst = l.v
+JOIN lv p ON p.v = e.src AND p.level = l.level - 1
+WHERE l.level > 0
+GROUP BY l.v, l.level
+UNION ALL
+SELECT r AS v, CAST(0 AS INTEGER) AS level, r AS parent FROM root"""
+)
 
 ORACLES["token_budget_sample"] = f"""
 WITH base AS (
