@@ -65,17 +65,32 @@ def triangle_count(edges_sym: DataFrame) -> int:
 
 
 def per_vertex_triangles(edges_sym: DataFrame) -> DataFrame:
-    """triangles(v, n_triangles) — per-vertex incident triangle counts."""
-    o = orient_edges(edges_sym).cache()
-    wedges = o.alias("e1").join(
-        o.select(F.col("src").alias("msrc"), F.col("dst").alias("mdst")).alias("e2"),
-        F.col("e1.dst") == F.col("msrc"),
-    ).select(F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("mdst").alias("c"))
-    tri = wedges.join(
-        o.select(F.col("src").alias("ca"), F.col("dst").alias("cc")),
-        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
-        "left_semi",
-    ).cache()
+    """triangles(v, n_triangles) — per-vertex incident triangle counts.
+
+    Same adjacency-intersection shape as :func:`triangle_count`, but the
+    per-vertex tally needs the third corner, so the intersection is
+    exploded: one output row per TRIANGLE (not per wedge — triangles are
+    a subset, usually a small one, of the wedge set the old plan
+    materialized and semi-joined).
+    """
+    o = orient_edges(edges_sym)
+    adj = o.groupBy(F.col("src").alias("v")).agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        o.join(
+            adj.select(F.col("v").alias("av"), F.col("nbrs").alias("a_nbrs")),
+            F.col("src") == F.col("av"),
+        )
+        .join(
+            adj.select(F.col("v").alias("bv"), F.col("nbrs").alias("b_nbrs")),
+            F.col("dst") == F.col("bv"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("a_nbrs", "b_nbrs")).alias("c"),
+        )
+        .cache()
+    )
     counts = (
         tri.select(F.col("a").alias("v"))
         .union(tri.select(F.col("b").alias("v")))
