@@ -112,18 +112,47 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_array(n: int = SHINGLE_N) -> F.Column:
+    """array<string> of the row's distinct word n-grams — the array-native
+    form of :func:`shingle_table` (same tokens, same grams, same dedup)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(starts, gram))
+
+
+def minhash_signature_cols(k: int = MINHASH_K) -> list[F.Column]:
+    """h0..h{k-1} as ROW-WISE expressions over a ``shingles`` array column.
+
+    min over the row's own shingles ≡ the groupBy(doc_id).min over the
+    exploded shingle table — same md5-derived values, same minimum — but
+    computed inside the row, so a signature costs ZERO shuffles.  Also the
+    streaming form: stateless, usable before a watermark."""
+    def _sig(i: int) -> F.Column:
+        pfx = F.lit(f"{i}:")
+        # single-argument lambda ONLY: a two-parameter lambda would make
+        # F.transform pass the array index as the second argument
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: _hash15(F.concat(pfx, s)))
+        ).alias(f"h{i}")
+
+    return [_sig(i) for i in range(k)]
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature as k columns.
 
-    One shuffle: explode shingles × k hash functions is avoided — instead
-    each hash is a separate aggregate over the same shingle rows (k min
-    aggregates in one groupBy pass, map-side combined)."""
-    sh = shingle_table(docs, n)
-    aggs = [
-        F.min(_hash15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    SHUFFLE-FREE: the per-document min runs inside the row over its own
+    shingle array (:func:`minhash_signature_cols`) — no exploded shingle
+    table, no groupBy exchange.  Docs with fewer than n tokens have no
+    shingles and are omitted, matching the exploded-table semantics."""
+    return (
+        docs.select("doc_id", shingle_array(n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", *minhash_signature_cols(k))
+    )
 
 
 def _cap_buckets(

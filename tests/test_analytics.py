@@ -156,6 +156,46 @@ def test_rolling_fingerprint_matches_pure_python(spark):
     assert got == {i: pure(t) for i, t in enumerate(texts)}
 
 
+def test_minhash_rowwise_equals_exploded_groupby(spark):
+    """Round-5: minhash_signatures computes the per-doc min INSIDE the row
+    (array_min over transform) — zero shuffles.  It must stay value-identical
+    to the exploded-shingle groupBy().min() formulation (which is also what
+    the DuckDB gate oracle computes), including omitting docs too short to
+    shingle.  Also guards the F.transform lambda-arity trap: a two-parameter
+    lambda would receive the ARRAY INDEX as its second argument and silently
+    hash the wrong prefix."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.dedup import (
+        _hash15,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again", 50),
+            (2, "the quick brown fox jumps over the lazy cat again", 50),
+            (3, "completely different text with many unusual tokens here now", 60),
+            (4, "too short", 9),  # < n tokens: no shingles, no signature row
+            (5, "", 0),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    k, n = 8, 3
+    new = minhash_signatures(docs, k=k, n=n)
+    aggs = [
+        F.min(_hash15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    old = shingle_table(docs, n).groupBy("doc_id").agg(*aggs)
+    assert sorted(new.columns) == sorted(old.columns)
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+    assert new.count() == 3  # docs 4 and 5 have no shingles
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the whole point: signature = map-only
+
+
 def test_lsh_bucket_cap_bounds_candidates(spark):
     """Scale guard (round-3): a degenerate bucket shared by the whole corpus
     (all-identical docs — every band bucket and every simhash chunk
