@@ -141,6 +141,24 @@ def minhash_signature_cols(k: int = MINHASH_K) -> list[F.Column]:
     return [_sig(i) for i in range(k)]
 
 
+def band_bucket_cols(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> list[F.Column]:
+    """One LSH bucket key per band, over signature columns h0..h{k-1}.
+
+    Band key = md5 of "<band>_<h..>_.." — docs agreeing on EVERY hash of a
+    band land in the same bucket.  Row-wise (no shuffle); shared by the
+    batch pair join and the streaming candidate emitter so both halves
+    agree on what a candidate IS."""
+    rows_per_band = k // bands
+    out = []
+    for b in range(bands):
+        cols = [
+            F.col(f"h{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        out.append(F.md5(F.concat_ws("_", F.lit(str(b)), *cols)))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature as k columns.
 
@@ -213,19 +231,9 @@ def minhash_lsh_pairs(
     is unaffected.
     """
     sig = minhash_signatures(docs, k, n).cache()
-    rows_per_band = k // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.md5(F.concat_ws("_", F.lit(str(b)), *cols)).alias("bucket"),
-            )
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionByName(bf)
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_bucket_cols(k, bands))).alias("bucket")
+    )
     buckets = _cap_buckets(buckets, max_bucket_size, cap_stats)
     cand = (
         buckets.alias("x")

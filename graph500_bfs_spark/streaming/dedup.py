@@ -68,3 +68,136 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .dropDuplicatesWithinWatermark(["fp"])
     )
     return deduped.observe("dedup_out", F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup: MinHash-banded LSH candidate pairs over a live ingest.
+#
+# The batch near-dup path (operators/dedup.py minhash_lsh_pairs) buckets the
+# corpus at rest; its streaming half emits candidate pairs AS DOCUMENTS
+# ARRIVE: each incoming doc is hashed row-wise (the same shuffle-free
+# shingle/minhash/band expressions the batch uses, so both halves agree on
+# what a candidate IS), exploded to its band buckets, and matched against
+# the bucket's remembered members.  State per bucket is a bounded
+# first-writer member list + an event-time TTL, so total state is sized by
+# (ingest rate × horizon) × bands — never by the corpus.
+#
+# Deliberate semantics, documented not hidden:
+# * output is CANDIDATES (doc_a, doc_b, bucket), doc_a the earlier arrival;
+#   exact-Jaccard verification needs both texts and is the batch job over
+#   the sink (stream-stream self-join on text would hold the corpus in
+#   state).  A pair sharing multiple bands is emitted once per shared
+#   band — consumers dedup, exactly like the batch .distinct() pre-verify.
+# * a bucket remembers at most ``max_bucket_members`` docs (the streaming
+#   form of the batch max_bucket_size cap): an arrival beyond the cap still
+#   pairs against the remembered members but is NOT added, and the miss is
+#   COUNTED (observedMetrics["lsh_candidates"].dropped_members), the same
+#   observability contract as batch cap_stats.
+# * duplicate delivery of a REMEMBERED (bucket, doc) is dropped and
+#   counted; a replay of a beyond-cap doc is indistinguishable from a new
+#   doc (telling them apart would need unbounded state), so it re-pairs —
+#   consumers dedup pairs, exactly as they already must across bands.
+# ---------------------------------------------------------------------------
+
+_CAND_SCHEMA = "doc_a long, doc_b long, bucket string, kind string"
+_BUCKET_STATE_SCHEMA = "members string, max_ts_ms long"
+CAND_KIND = "candidate"
+DROP_KIND = "_dropped"
+IDLE_BUCKET_TTL_MS = 6 * 3600 * 1000
+
+
+def _lsh_fn(key, pdfs, state):
+    """Per-bucket stateful matcher (bounded first-writer member list)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs)).sort_values(["ingest_ts", "doc_id"])
+    if state.exists:
+        members_s, max_ts_ms = state.get
+        members = [int(x) for x in members_s.split("\x1f")] if members_s else []
+    else:
+        members, max_ts_ms = [], 0
+    cap = int(rows["cap"].iloc[0])
+    bucket = key[0]
+    seen = set(members)
+    doc_a, doc_b, kind = [], [], []
+    n_dropped = 0
+    for did, ts in zip(rows["doc_id"], rows["ingest_ts"]):
+        did = int(did)
+        if did in seen:
+            n_dropped += 1  # duplicate delivery of (bucket, doc)
+            continue
+        doc_a += members
+        doc_b += [did] * len(members)
+        kind += [CAND_KIND] * len(members)
+        if len(members) < cap:
+            members.append(did)
+            seen.add(did)
+        else:
+            n_dropped += 1  # beyond cap: paired above, but not remembered
+        max_ts_ms = max(int(max_ts_ms), int(ts.value // 1_000_000))
+    state.update(("\x1f".join(str(m) for m in members), int(max_ts_ms)))
+    state.setTimeoutTimestamp(
+        max(max_ts_ms + IDLE_BUCKET_TTL_MS, state.getCurrentWatermarkMs() + 1)
+    )
+    if n_dropped:
+        doc_a.append(n_dropped)
+        doc_b.append(0)
+        kind.append(DROP_KIND)
+    if doc_a:
+        yield pd.DataFrame(
+            {"doc_a": doc_a, "doc_b": doc_b, "bucket": bucket, "kind": kind}
+        )
+
+
+def lsh_candidates_stream(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    watermark: str = "1 hour",
+    max_bucket_members: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, bucket) near-dup candidate pairs from a doc stream.
+
+    All hashing (shingles → minhash → band keys) is JVM expressions before
+    the stateful step; only the bounded per-bucket membership is Python
+    state.  ``doc_a`` arrived before ``doc_b``.  Drops (bucket over
+    ``max_bucket_members``, duplicate deliveries) are counted in
+    ``observedMetrics["lsh_candidates"].dropped_members``.
+    """
+    from graph500_bfs_spark.operators.dedup import (
+        band_bucket_cols,
+        minhash_signature_cols,
+        shingle_array,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sig = (
+        docs.select("doc_id", "ingest_ts", shingle_array(n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "ingest_ts", *minhash_signature_cols(k))
+    )
+    buckets = sig.select(
+        "doc_id",
+        "ingest_ts",
+        F.explode(F.array(*band_bucket_cols(k, bands))).alias("bucket"),
+        F.lit(max_bucket_members).alias("cap"),
+    ).withWatermark("ingest_ts", watermark)
+    out = buckets.groupBy("bucket").applyInPandasWithState(
+        _lsh_fn,
+        outputStructType=_CAND_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = out.observe(
+        "lsh_candidates",
+        F.sum(
+            F.when(F.col("kind") == DROP_KIND, F.col("doc_a")).otherwise(F.lit(0))
+        ).alias("dropped_members"),
+        F.count(F.when(F.col("kind") == CAND_KIND, F.lit(1))).alias("emitted_pairs"),
+    )
+    return out.filter(F.col("kind") != DROP_KIND).drop("kind")
