@@ -84,7 +84,10 @@ def ngram_jaccard_pairs(
     for pathological boilerplate, the standard engineering tradeoff.
     """
     sh = shingle_table(docs, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # shuffle-free: |shingles(doc)| is a per-row fact
+    sizes = docs.select(
+        "doc_id", F.size(shingle_array(n)).alias("sz")
+    ).filter(F.col("sz") > 0)
     freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_shingle_freq
     )
@@ -244,7 +247,10 @@ def minhash_lsh_pairs(
     )
     # verify candidates with exact Jaccard on shingles
     sh = shingle_table(docs, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # shuffle-free: |shingles(doc)| is a per-row fact
+    sizes = docs.select(
+        "doc_id", F.size(shingle_array(n)).alias("sz")
+    ).filter(F.col("sz") > 0)
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")), "doc_b")
@@ -272,16 +278,25 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Token hash = md5-prefix int64 (identical in DuckDB); bit j of the
     signature is 1 iff Σ_tokens (2·bit_j(h)−1) > 0.
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-    ).withColumn("h", _hash15(F.col("tok")))
-    aggs = [
-        F.sum(
-            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+    # SHUFFLE-FREE: the signature is a per-document aggregate over that
+    # document's own tokens, so it runs inside the row — md5 once per token
+    # (one transform), then `bits` array-aggregates of two-int bit ops.
+    # Same values as the exploded groupBy().sum() formulation (pytest) and
+    # the DuckDB gate oracle.
+    def _bitsum(j: int) -> F.Column:
+        # closure factory, NOT a default-arg lambda: F.aggregate's merge
+        # lambda must take exactly (acc, x)
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1),
         ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*aggs)
+
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split(F.trim("text"), r"\s+"), _hash15).alias("hs"),
+    ).filter(F.col("hs").isNotNull())
+    agg = hashed.select("doc_id", *[_bitsum(j) for j in range(bits)])
     sim = F.lit(0).cast("long")
     for j in range(bits):
         # bit 63 as a SIGNED long literal (1<<63 overflows int64; setting

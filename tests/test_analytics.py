@@ -196,6 +196,43 @@ def test_minhash_rowwise_equals_exploded_groupby(spark):
     assert "Exchange" not in plan  # the whole point: signature = map-only
 
 
+def test_simhash_rowwise_equals_exploded_groupby(spark):
+    """Round-5: simhash_signatures hashes each token once (one transform)
+    and bit-sums inside the row — zero shuffles.  Must stay value-identical
+    to the exploded token table + groupBy().sum() formulation (which the
+    DuckDB gate oracle mirrors)."""
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.dedup import _hash15, simhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha alpha", 28),  # duplicate tokens count
+            (2, "one two three four five six", 27),
+            (3, "x", 1),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    bits = 32
+    new = simhash_signatures(docs, bits=bits)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", _hash15(F.col("tok")))
+    aggs = [
+        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        w = (1 << j) if j < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0))
+    old = agg.select("doc_id", sim.alias("simhash"))
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_lsh_bucket_cap_bounds_candidates(spark):
     """Scale guard (round-3): a degenerate bucket shared by the whole corpus
     (all-identical docs — every band bucket and every simhash chunk
