@@ -75,6 +75,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_lsh": gate.q_dedup_groups_lsh,
         "transcript_pagerank": gate.q_transcript_pagerank,
         "transcript_cc": gate.q_transcript_cc,
+        # round 5: LPA + per-vertex triangles on the same transcript entity
+        # graph — the north rule's four analytics now all run (and oracle-
+        # check) on the north rule's own graph, not just the TPC-H ones
+        "transcript_lpa": gate.q_transcript_lpa,
+        "transcript_triangles": gate.q_transcript_triangles,
     }
 
 

@@ -289,25 +289,34 @@ SELECT COUNT(*) AS n_triangles FROM pairs e1
 JOIN pairs e2 ON e1.dst = e2.src
 JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """,
-    "label_propagation_snr": (
+}
+
+
+def _lpa_unrolled_sql(n_iter: int, edges_cte: str) -> str:
+    """Unrolled synchronous min-tie-break LPA over any CTE ending in
+    edges(src, dst) — one (count, argmax) pair per round, mirroring
+    :func:`operators.label_propagation.label_propagation` exactly."""
+    parts = [
         "WITH "
-        + _EDGES_SNR
+        + edges_cte
         + """,
 verts AS (SELECT DISTINCT src AS v FROM edges),
-l0 AS (SELECT v, v AS label FROM verts),
-c1 AS (SELECT e.dst AS v, l.label, COUNT(*) AS cnt
-       FROM edges e JOIN l0 l ON l.v = e.src GROUP BY e.dst, l.label),
-l1 AS (SELECT v, MIN(label) FILTER (WHERE cnt = mx) AS label
-       FROM (SELECT v, label, cnt, MAX(cnt) OVER (PARTITION BY v) AS mx FROM c1)
-       GROUP BY v),
-c2 AS (SELECT e.dst AS v, l.label, COUNT(*) AS cnt
-       FROM edges e JOIN l1 l ON l.v = e.src GROUP BY e.dst, l.label),
-l2 AS (SELECT v, MIN(label) FILTER (WHERE cnt = mx) AS label
-       FROM (SELECT v, label, cnt, MAX(cnt) OVER (PARTITION BY v) AS mx FROM c2)
-       GROUP BY v)
-SELECT v, label FROM l2"""
-    ),
-}
+l0 AS (SELECT v, v AS label FROM verts)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS v, l.label, COUNT(*) AS cnt
+       FROM edges e JOIN l{i - 1} l ON l.v = e.src GROUP BY e.dst, l.label),
+l{i} AS (SELECT v, MIN(label) FILTER (WHERE cnt = mx) AS label
+       FROM (SELECT v, label, cnt, MAX(cnt) OVER (PARTITION BY v) AS mx FROM c{i})
+       GROUP BY v)"""
+        )
+    parts.append(f"\nSELECT v, label FROM l{n_iter}")
+    return "".join(parts)
+
+
+ORACLES["label_propagation_snr"] = _lpa_unrolled_sql(2, _EDGES_SNR)
 
 
 # ------------------------------------------------------- text / dedup gate
@@ -1148,7 +1157,46 @@ def q_transcript_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_transcript_graph(spark, sf_dir))
 
 
+def q_transcript_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 synchronous LPA rounds over the transcript entity graph — with
+    transcript_pagerank / transcript_cc / transcript_triangles this
+    completes the north rule's four analytics on the north rule's graph."""
+    from graph500_bfs_spark.operators.label_propagation import label_propagation
+
+    return label_propagation(_transcript_graph(spark, sf_dir), max_iter=2)
+
+
+def q_transcript_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex incident-triangle counts over the transcript entity graph
+    (degree-oriented adjacency intersection; conv/role/tool hub skew is the
+    point — orientation bounds the widest adjacency row)."""
+    from graph500_bfs_spark.operators.triangles import per_vertex_triangles
+
+    return per_vertex_triangles(_transcript_graph(spark, sf_dir))
+
+
 ORACLES["transcript_pagerank"] = _pagerank_unrolled_sql(10, edges_cte=_EDGES_TRANSCRIPT)
+
+ORACLES["transcript_lpa"] = _lpa_unrolled_sql(2, _EDGES_TRANSCRIPT)
+
+# each triangle {a,b,c} with a<b<c appears exactly once in tri via the
+# canonical (a,b),(b,c),(a,c) pair joins; per-vertex counts then tally all
+# three corners — orientation-independent, so it checks the Spark plan's
+# degree orientation produced exactly the undirected triangle set
+ORACLES["transcript_triangles"] = (
+    "WITH "
+    + _EDGES_TRANSCRIPT
+    + """,
+pairs AS (SELECT src, dst FROM edges WHERE src < dst),
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.src = e1.dst
+        JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT v, COUNT(*) AS n_triangles
+FROM (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+      UNION ALL SELECT c AS v FROM tri)
+GROUP BY v"""
+)
 
 ORACLES["transcript_cc"] = (
     "WITH RECURSIVE "
