@@ -123,6 +123,55 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(feat, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 32
+) -> DataFrame:
+    """Sample video frames at a fixed timestamp stride — one output row per
+    (doc_id, frame): frame_idx i covers ts_ms = i*every_ms < duration_ms.
+
+    Scale shape: the non-video filter runs JVM-side BEFORE the UDF (column
+    pruning + pushdown keep image/audio payload bytes out of the Arrow
+    transfer entirely), and per-video fan-out is hard-capped at
+    ``max_frames`` so a pathological 10-hour clip cannot explode a task —
+    the cap is the same explicit-bound contract as dedup's
+    ``max_bucket_size``.  REAL-CODEC STUB: actual frame extraction (pyav /
+    ffmpeg) slots into the marked loop; for fake G5MM payloads each frame
+    is a deterministic 64-byte slice of the body keyed by frame_idx, so
+    plumbing, batching, and fan-out are exercised for real."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, blobs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != _MAGIC:
+                    raise NotImplementedError(
+                        "real video frame extraction requires ffmpeg/pyav"
+                    )
+                dur = struct.unpack("<I", b[9:13])[0]
+                body = b[13:] or b"\x00"
+                n = min(max(-(-dur // every_ms), 1), max_frames)
+                # all-frame offsets in one vectorized shot; the slice loop
+                # below is the real-codec substitution point
+                offs = (np.arange(n, dtype=np.int64) * 64) % len(body)
+                for i, off in enumerate(offs):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    chunk = body[off : off + 64]
+                    blobs.append(chunk + body[: 64 - len(chunk)])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": blobs}
+            )
+
+    return media.filter(F.col("media_type") == "video").select(
+        "doc_id", "payload"
+    ).mapInPandas(frames, FRAME_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL-CODEC STUB: raises for non-fake payloads; for fake payloads
     rewrites the header dims (plumbing test of binary transform)."""

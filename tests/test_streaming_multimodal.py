@@ -7,6 +7,7 @@ from graph500_bfs_spark.operators.multimodal import (
     decode_metadata,
     extract_features,
     resize_images,
+    sample_frames,
     synthesize_media,
 )
 from graph500_bfs_spark.streaming.events import (
@@ -123,6 +124,41 @@ def test_multimodal_pipeline(spark):
 
     resized = decode_metadata(resize_images(media, 32, 24)).collect()
     assert all(r["width"] == 32 and r["height"] == 24 for r in resized)
+
+
+def test_sample_frames_stride_cap_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    media = synthesize_media(docs).cache()
+    videos = {
+        r["doc_id"]: r["duration_ms"]
+        for r in decode_metadata(media).filter(F.col("media_type") == "video").collect()
+    }
+    assert videos, "fixture must contain video rows"
+
+    frames = sample_frames(media, every_ms=1000, max_frames=32).collect()
+    # only video docs produce frames
+    assert {r["doc_id"] for r in frames} == set(videos)
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        dur = videos[doc_id]
+        expect = min(max(-(-dur // 1000), 1), 32)
+        assert len(rows) == expect
+        assert sorted(r["frame_idx"] for r in rows) == list(range(expect))
+        assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+        assert all(len(r["frame"]) == 64 for r in rows)
+
+    # the cap bounds pathological fan-out
+    capped = sample_frames(media, every_ms=1, max_frames=4).groupBy("doc_id").count()
+    assert all(r["count"] <= 4 for r in capped.collect())
+
+    # deterministic frame bytes
+    again = sample_frames(media, every_ms=1000, max_frames=32).collect()
+    key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
+    assert {key(r): bytes(r["frame"]) for r in frames} == {
+        key(r): bytes(r["frame"]) for r in again
+    }
 
 
 def test_stream_derive_edges_equals_batch_across_microbatches(spark, tmp_path):
