@@ -384,6 +384,32 @@ def ivf_write_partitioned(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append(new_vectors: DataFrame, path: str) -> None:
+    """Incrementally add vectors to a layout written by
+    :func:`ivf_write_partitioned` — the corpus-GROWS path, no rebuild.
+
+    Each new vector is assigned to its nearest EXISTING centroid (read
+    from ``<path>/centroids``) and appended into that cell's partition
+    directory; existing files are never rewritten, untouched cells are
+    never opened, and the very next probe sees the new vectors because
+    the layout IS the index — append IS index maintenance.  Centroid
+    drift under a shifting distribution is the periodic batch job's
+    problem by design (retrain via :func:`kmeans_centroids` + rewrite) —
+    the same serve-now/reconcile-later split as the streaming dedup and
+    edge-derivation surfaces.
+    """
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    assign = ivf_assign(new_vectors, centroids=cents)
+    (
+        new_vectors.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(f"{path}/corpus")
+    )
+
+
 def ivf_topk_at_rest(
     spark,
     path: str,

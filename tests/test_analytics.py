@@ -457,6 +457,49 @@ def test_ivf_at_rest_prunes_partitions_and_matches_ivf_topk(spark, tmp_path):
     assert any("centroid" in f for f in m), plan[:2000]
 
 
+def test_ivf_append_grows_layout_without_rewrite(spark, tmp_path):
+    """ivf_append adds vectors to existing cells in place: probes after the
+    append return exactly what a fresh in-memory index over the full corpus
+    returns, and no pre-append data file was rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graph500_bfs_spark.operators.similarity import (
+        ivf_append,
+        ivf_topk,
+        ivf_topk_at_rest,
+        ivf_write_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    # base keeps vec_id < 16 so the default centroid set equals the
+    # full-corpus default; the odd remainder arrives later via append
+    base = emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 2 == 0))
+    late = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1))
+    assert late.count() > 0
+
+    path = str(tmp_path / "ivf")
+    ivf_write_partitioned(base, path, n_centroids=16)
+
+    def data_files():
+        out = set()
+        for root, _, files in os.walk(f"{path}/corpus"):
+            out |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+        return out
+
+    before = data_files()
+    ivf_append(late, path)
+    after = data_files()
+    assert before < after, "append must add files"
+    assert before.issubset(after), "append must not rewrite existing files"
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_topk_at_rest(spark, path, queries, k=5, n_probe=4)
+    want = ivf_topk(emb, k=5, n_queries=10, n_centroids=16, n_probe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_kmeans_trained_at_rest_prunes_and_matches_in_memory(spark, tmp_path):
     """Round-5: the at-rest IVF layout under TRAINED k-means centroids —
     write the corpus partitioned by the trained cells, probe must read
