@@ -27,6 +27,20 @@ def test_corpus_job_budget_matches_operator(spark, tmp_path):
     assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0
 
 
+def test_corpus_job_every_batch_step_writes_rows(spark, tmp_path):
+    """Smoke every batch step of the CLI end to end: each writes a non-empty
+    parquet result and reports matching n_rows (budget has its own exact
+    equivalence test above; stream-* have dedicated stateful tests)."""
+    import corpus_job
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    wh = str(tmp_path / "wh")
+    for step in ("stats", "exact-dedup", "lsh-pairs", "dedup-groups", "prep"):
+        m = corpus_job.main([step, "--docs", docs, "--warehouse", wh])
+        out = spark.read.parquet(f"{wh}/{step.replace('-', '_')}")
+        assert m["n_rows"] == out.count() > 0, step
+
+
 def test_corpus_job_stream_lsh_counts(spark, tmp_path):
     import corpus_job
     from graph500_bfs_spark.streaming.dedup import DOC_STREAM_SCHEMA
