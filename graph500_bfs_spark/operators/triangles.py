@@ -89,13 +89,12 @@ def per_vertex_triangles(edges_sym: DataFrame) -> DataFrame:
             F.col("dst").alias("b"),
             F.explode(F.array_intersect("a_nbrs", "b_nbrs")).alias("c"),
         )
-        .cache()
     )
-    counts = (
-        tri.select(F.col("a").alias("v"))
-        .union(tri.select(F.col("b").alias("v")))
-        .union(tri.select(F.col("c").alias("v")))
+    # one corner explode + one partial-aggregated count: the triangle set
+    # streams through map-side combine and is never materialized (a cache +
+    # 3-way union here would pin O(#triangles) rows — wrong at 10^12 edges)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("n_triangles"))
     )
-    return counts
