@@ -18,6 +18,9 @@ Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode] [reps]
         | msadaptive (msspark + per-superstep merge choice from the exact
           pre-probe candidate bound: driver merge on small steps, executor
           merge on candidate-heavy steps — the shipping default)
+        | pagerank | cc | lpa | tri (the north-rule analytics over the
+          same graph; throughput = directed edges × supersteps / wall,
+          n_roots ignored)
 
 Mirrors the reference's run-benchmark.py orchestration role
 (/root/reference/run-benchmark.py:104-200).
@@ -96,6 +99,41 @@ if mode in ("ms", "msspark", "msmerge", "msadaptive"):
         "TEPS": met.teps(),
         "msbfs_batch_aggregate_TEPS": met.teps(),
         "times_s": [met.total_time_s], "traversed_edges": [met.traversed_edges]}}))
+    sys.exit(0)
+if mode in ("pagerank", "cc", "lpa", "tri"):
+    # north-rule analytics legs: same two-parallelism protocol, throughput
+    # = directed edges × supersteps / wall (processed-edge rate — the
+    # constant factor cancels in the efficiency ratio; what matters is
+    # IDENTICAL input and work at both core counts).  One warm run (cache
+    # fill), one timed run.
+    from graph500_bfs_spark.operators.components import connected_components
+    from graph500_bfs_spark.operators.label_propagation import label_propagation
+    from graph500_bfs_spark.operators.pagerank import pagerank
+    from graph500_bfs_spark.operators.triangles import triangle_count
+
+    def run_analytics():
+        if mode == "pagerank":
+            pagerank(es, damping=0.85, max_iter=10, tol=None) \
+                .agg(F.sum("score")).collect()
+            return 10
+        if mode == "cc":
+            connected_components(es).agg(F.count("*")).collect()
+            return 1
+        if mode == "lpa":
+            label_propagation(es, max_iter=2).agg(F.count("*")).collect()
+            return 2
+        triangle_count(es)
+        return 1
+
+    run_analytics()  # warm
+    t0 = time.time()
+    iters = run_analytics()
+    wall = time.time() - t0
+    print("RESULT " + json.dumps({{
+        "cores": cores, "scale": scale, "mode": mode,
+        "n_vertices": n_total, "m_directed": m_dir, "supersteps": iters,
+        "metric": "processed_edges_per_sec",
+        "TEPS": m_dir * iters / wall, "wall_s": wall}}))
     sys.exit(0)
 if mode == "shm":
     dp = deg.orderBy("v").toPandas()
