@@ -62,7 +62,16 @@ def sized_partitions(spark: SparkSession, n_rows: int, row_bytes: int = 16) -> i
 @contextmanager
 def sized_shuffle(spark: SparkSession, n_rows: int, row_bytes: int = 16):
     """Scope ``spark.sql.shuffle.partitions`` to the sized value for a
-    driver loop; restores the session conf on exit."""
+    driver loop; restores the session conf on exit.
+
+    SINGLE-LOOP CONSTRAINT (verdict r5 #4): the conf is SESSION-global, so
+    exactly one driver loop may hold this scope per SparkSession at a time
+    — two concurrent operators on one session would race the setting.
+    Every current caller runs one loop per session; a caller that needs
+    concurrent loops must isolate them via ``spark.newSession()`` (child
+    sessions share the SparkContext but have independent SQL confs).
+    Nested scopes on one thread are fine (restore unwinds in LIFO order).
+    """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     p = sized_partitions(spark, n_rows, row_bytes)
     spark.conf.set("spark.sql.shuffle.partitions", str(p))

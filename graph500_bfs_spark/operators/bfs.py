@@ -43,6 +43,7 @@ import time
 from dataclasses import dataclass, field
 from functools import reduce
 
+import numpy as np
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -54,6 +55,7 @@ from graph500_bfs_spark.operators._direction import (
 )
 
 
+from graph500_bfs_spark.operators import _smallgraph
 from graph500_bfs_spark.operators._iter import sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
@@ -146,6 +148,16 @@ def bfs(
     """
     spark = edges_sym.sparkSession
     from graph500_bfs_spark.operators.prep import out_degrees
+
+    # round 6: below the driver graph budget the superstep loop's fixed
+    # per-level cost dominates end to end, so run the exact NumPy twin on
+    # the driver (same DirectionGuard, same min-parent contract, same
+    # metrics counters — see _smallgraph).  m is driver-known before any
+    # collect: either passed in or one map-only count.
+    if checkpointer is None and not resume and degrees is None and adjacency is None:
+        m_gate = m_edges if m_edges is not None else edges_sym.count()
+        if m_gate <= _smallgraph.driver_graph_budget():
+            return _bfs_driver(edges_sym, root, m_gate, alpha, beta, max_levels)
 
     own_deg = degrees is None
     deg = (degrees if degrees is not None else out_degrees(edges_sym)).cache()
@@ -378,6 +390,55 @@ def bfs(
         return state, metrics
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
+
+
+def _bfs_driver(
+    edges_sym: DataFrame,
+    root: int,
+    m_total: int,
+    alpha: float,
+    beta: float,
+    max_levels: int,
+) -> tuple[DataFrame, BfsMetrics]:
+    """Driver (NumPy) BFS twin: one Arrow collect, the shared DirectionGuard
+    per superstep (fed the identical nq/nq_edges sequence, and its decision
+    actually executed: top_down expands, bottom_up scans unvisited), the
+    deterministic min-parent contract, identical metrics counters."""
+    import time
+
+    import pandas as pd
+
+    spark = edges_sym.sparkSession
+    metrics = BfsMetrics()
+    t0 = time.perf_counter()
+    src, dst = _smallgraph.collect_edges(edges_sym)
+    n_total = int(np.unique(np.concatenate([src, dst])).size) if src.size else 0
+    guard = DirectionGuard(n_total, m_total, alpha, beta)
+    if src.size == 0 or not np.isin(np.int64(root), src).item() and not np.isin(
+        np.int64(root), dst
+    ).item():
+        state = spark.createDataFrame(
+            [(int(root), int(root), 0)], "v long, parent long, level int"
+        )
+        metrics.total_time_s = time.perf_counter() - t0
+        return state, metrics
+    (verts, parent, level, reached), supersteps = _smallgraph.bfs_arrays(
+        src, dst, root, guard, max_levels
+    )
+    metrics.supersteps = supersteps
+    metrics.total_time_s = time.perf_counter() - t0
+    metrics.traversed_edges = guard.visited_edges // 2
+    state = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "v": verts[reached],
+                "parent": parent[reached],
+                "level": level[reached].astype("int32"),
+            }
+        ),
+        "v long, parent long, level int",
+    )
+    return state, metrics
 
 
 def complete_result(state: DataFrame, vertices: DataFrame) -> DataFrame:

@@ -19,8 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators import _smallgraph
 from graph500_bfs_spark.operators._iter import mutable_side, sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
+
+#: changed-label count below which a round attempts the driver tail finish
+#: (collect the contracted boundary graph, close it with hash-min in NumPy) —
+#: the verdict-#1 fix for the geometrically shrinking pointer-doubling tail
+#: whose per-round fixed cost no longer fills the cluster
+CC_TAIL_TRIGGER_ROWS = 1_000_000
 
 
 def connected_components(
@@ -37,6 +44,12 @@ def connected_components(
     checked with a scalar count of changed labels (driver allreduce).
     Label state checkpoints per round through ``checkpointer`` and resumes
     mid-run; rounds are deterministic so resume is exact.
+
+    Round 6: below the driver graph budget the whole problem is solved on
+    the driver (``_smallgraph``); above it, the round loop finishes the
+    shrinking tail on the driver once the changed-label counter and the
+    contracted boundary graph fit the same budget.  Both paths produce the
+    identical fixpoint (component = min vertex id).
     """
     scope = CheckpointScope(edges_sym.sparkSession)
     # static side cached pre-partitioned on the join key (see _iter): each
@@ -45,6 +58,14 @@ def connected_components(
     spark = edges_sym.sparkSession
     # rule 3 (_iter): shuffle width follows the data for the loop
     m = edges_sym.count()
+    if checkpointer is None and not resume and m <= _smallgraph.driver_graph_budget():
+        src, dst = _smallgraph.collect_edges(edges_sym)
+        verts, comp = _smallgraph.cc_components(src, dst)
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"v": verts, "component": comp}), "v long, component long"
+        )
     _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -129,10 +150,57 @@ def connected_components(
                 )
             if int(changed or 0) == 0:
                 break
+            # driver tail finish (round 6, verdict #1): once the changed-label
+            # counter is small, the remaining rounds shrink geometrically and
+            # their per-round fixed cost dominates.  Contract the graph to its
+            # label boundary (distinct cross-label super-edges); if that fits
+            # the driver budget, close it with hash-min in NumPy and map the
+            # final roots back with ONE broadcast join — exact fixpoint.
+            if checkpointer is None and int(changed or 0) <= CC_TAIL_TRIGGER_ROWS:
+                done = _tail_finish(e, labels, n)
+                if done is not None:
+                    labels = done
+                    break
         e.unpersist()
         return scope.finalize(labels)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
+
+
+def _tail_finish(e: DataFrame, labels: DataFrame, n: int) -> DataFrame | None:
+    """Collect the label-contracted boundary graph and finish hash-min on the
+    driver; None when the boundary exceeds the driver budget (caller keeps
+    iterating — the boundary only shrinks)."""
+    spark = e.sparkSession
+    ls = mutable_side(
+        labels.select(F.col("v").alias("sv"), F.col("component").alias("sc")), n
+    )
+    ld = mutable_side(
+        labels.select(F.col("v").alias("dv"), F.col("component").alias("dc")), n
+    )
+    boundary = (
+        e.join(ls, e["src"] == F.col("sv"))
+        .join(ld, e["dst"] == F.col("dv"))
+        .filter(F.col("sc") != F.col("dc"))
+        .select(
+            F.least("sc", "dc").alias("src"), F.greatest("sc", "dc").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if boundary.count() > _smallgraph.driver_graph_budget():
+        return None
+    src, dst = _smallgraph.collect_edges(boundary)
+    verts, comp = _smallgraph.cc_components(src, dst)
+    moved = verts != comp
+    import pandas as pd
+
+    mapping = spark.createDataFrame(
+        pd.DataFrame({"mc": verts[moved], "fc": comp[moved]}), "mc long, fc long"
+    )
+    return labels.join(
+        F.broadcast(mapping), labels["component"] == F.col("mc"), "left"
+    ).select("v", F.coalesce(F.col("fc"), F.col("component")).alias("component"))
 
 
 def prune_trees(edges_sym: DataFrame, max_iter: int = 32) -> tuple[DataFrame, DataFrame]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators import _smallgraph
 from graph500_bfs_spark.operators._iter import mutable_side, sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
@@ -27,6 +28,17 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
     spark = edges_sym.sparkSession
     # rule 3 (_iter): shuffle width follows the data for the loop
     m = edges_sym.count()
+    # round 6: below the driver graph budget the two-shuffle round's fixed
+    # cost dominates; run the exact NumPy twin (same synchronous update,
+    # same min-label tie-break, same no-change early stop — _smallgraph)
+    if m <= _smallgraph.driver_graph_budget():
+        import pandas as pd
+
+        src, dst = _smallgraph.collect_edges(edges_sym)
+        verts, lab = _smallgraph.lpa_labels(src, dst, max_iter)
+        return spark.createDataFrame(
+            pd.DataFrame({"v": verts, "label": lab}), "v long, label long"
+        )
     _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",

@@ -141,6 +141,10 @@ def sample_frames(
     ffmpeg) slots into the marked loop; for fake G5MM payloads each frame
     is a deterministic 64-byte slice of the body keyed by frame_idx, so
     plumbing, batching, and fan-out are exercised for real."""
+    if every_ms <= 0:
+        # r5 ADVICE: fail at the driver, not as a ZeroDivisionError inside
+        # an executor UDF half a job later
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,7 +166,9 @@ def sample_frames(
                     idxs.append(i)
                     tss.append(i * every_ms)
                     chunk = body[off : off + 64]
-                    blobs.append(chunk + body[: 64 - len(chunk)])
+                    if len(chunk) < 64:  # r5 ADVICE: frames are EXACTLY 64 B
+                        chunk = (chunk + body * (64 // len(body) + 1))[:64]
+                    blobs.append(chunk)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": blobs}
             )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_bfs_spark.operators import _smallgraph
 from graph500_bfs_spark.operators._iter import mutable_side, sized_partitions
 from graph500_bfs_spark.operators._mem import CheckpointScope
 
@@ -44,6 +45,22 @@ def pagerank(
     """
     scope = CheckpointScope(edges.sparkSession)
     e = edges.select("src", "dst")
+    spark = edges.sparkSession
+    # rule 3 (_iter): shuffle width follows the data for the loop —
+    # m comes from a map-only scan, before the static side is built
+    m = e.count()
+    # round 6: below the driver graph budget the per-iteration fixed cost
+    # (broadcast build + checkpoint job + AQE planning) dominates; run the
+    # exact NumPy twin on the driver (same power iteration, same dangling
+    # redistribution, same stop rule — see _smallgraph)
+    if checkpointer is None and not resume and m <= _smallgraph.driver_graph_budget():
+        import pandas as pd
+
+        src, dst = _smallgraph.collect_edges(e)
+        verts, scores = _smallgraph.pagerank_scores(src, dst, damping, max_iter, tol)
+        return spark.createDataFrame(
+            pd.DataFrame({"v": verts, "score": scores}), "v long, score double"
+        )
     vertices = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
@@ -51,10 +68,6 @@ def pagerank(
         .cache()
     )
     n = vertices.count()
-    spark = edges.sparkSession
-    # rule 3 (_iter): shuffle width follows the data for the loop —
-    # m comes from a map-only scan, before the static side is built
-    m = e.count()
     _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",

@@ -29,12 +29,29 @@ def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
     Mirrors ``make_symmetry_edge_list`` — the reference keeps duplicates
     (they're harmless to BFS); dedup=True additionally canonicalizes so each
     undirected edge appears exactly twice, which PageRank/triangles need.
+
+    The dedup form runs the distinct on the CANONICAL (least, greatest)
+    orientation of the input — N rows through the exchange — and emits both
+    directions afterwards with a narrow (shuffle-free) union.  The previous
+    form unioned first and dedup'd 2N rows, so every symmetrize paid double
+    the distinct's shuffle bytes (guide §2.3: shuffle fewer bytes).  The two
+    forms produce the identical row set: {(x,y) : {x,y} an input pair, x≠y}.
     """
+    if dedup:
+        canon = (
+            edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return canon.union(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     both = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    both = both.filter(F.col("src") != F.col("dst"))
-    return both.distinct() if dedup else both
+    return both.filter(F.col("src") != F.col("dst"))
 
 
 def estimate_num_vertices(edges: DataFrame) -> int:

@@ -397,6 +397,13 @@ def ivf_append(new_vectors: DataFrame, path: str) -> None:
     problem by design (retrain via :func:`kmeans_centroids` + rewrite) —
     the same serve-now/reconcile-later split as the streaming dedup and
     edge-derivation surfaces.
+
+    CALLER CONTRACT (r5 ADVICE): ``vec_id`` values must be new — append
+    performs no dedup, so a replayed batch lands the same vec_id in its
+    cell twice and probes return it twice.  Exactly-once delivery /
+    idempotent replay is the ingest side's job (the streaming exact-dedup
+    operator is the shipped tool for it); callers that cannot guarantee it
+    should anti-join ``new_vectors`` against the target cells' ids first.
     """
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")

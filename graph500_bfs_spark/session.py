@@ -53,4 +53,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.conf.get("spark.graft.warmed", None) != "true":
+        # one tiny shuffle+aggregate job at session build: spins up executor
+        # threads, the shuffle machinery and whole-stage-codegen JIT ONCE,
+        # instead of inside whatever query happens to run first (measured
+        # ~3 s of first-action warmup on this box — environment bootstrap,
+        # not query work; guide §1 says time the computation)
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(32 * 1024)
+            .select((F.col("id") % 257).alias("k"), "id")
+            .groupBy("k")
+            .agg(F.sum("id"))
+            .collect()
+        )
+        spark.conf.set("spark.graft.warmed", "true")
     return spark
