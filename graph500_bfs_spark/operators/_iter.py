@@ -26,21 +26,32 @@ Three rules make an iterative join loop survive a 100× scale-up:
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # rows on the mutable side below which a driver-placed broadcast beats the
-# shuffled hash join (~16-32 B/row → ≤ ~256 MB broadcast)
+# shuffled hash join (~16-32 B/row → ≤ ~256 MB broadcast).  Env-overridable
+# (round 6) because the right value is workload-shaped: a broadcast is
+# REBUILT through the driver every iteration (serial cost), while the
+# shuffled hash join exchanges the mutable side in parallel and streams the
+# cached static side with no sort — for operators whose mutable side is the
+# whole vertex vector (CC/LPA/PageRank), the serial rebuild is the Amdahl
+# term in the N→4N scaling measurements.
 ITER_BROADCAST_GATE = 8_000_000
+
+
+def iter_broadcast_gate() -> int:
+    return int(os.environ.get("SPARK_GRAFT_ITER_BROADCAST_ROWS", str(ITER_BROADCAST_GATE)))
 
 
 def mutable_side(df: DataFrame, n_rows: int, gate: int | None = None) -> DataFrame:
     """Broadcast the per-iteration mutable side while it fits, else force
     the shuffled hash join (build side = this small side, static side
     streams partition-locally with no sort)."""
-    g = ITER_BROADCAST_GATE if gate is None else gate
+    g = iter_broadcast_gate() if gate is None else gate
     return F.broadcast(df) if n_rows < g else df.hint("shuffle_hash")
 
 

@@ -213,6 +213,50 @@ def bfs_arrays(src: np.ndarray, dst: np.ndarray, root: int, guard, max_levels: i
     return (verts, verts[parent.clip(0)], level, reached), supersteps
 
 
+# ------------------------------------------------------------ SSSP
+
+def sssp_distances(src: np.ndarray, dst: np.ndarray, w: np.ndarray, root: int):
+    """((verts, dist, reached_mask), n_iterations) — frontier Bellman–Ford,
+    the distributed operator's exact loop: per round only last-round
+    improvers relax their out-edges; terminates when no distance improves.
+    Integer arithmetic throughout — the unique shortest-distance fixpoint."""
+    verts, si, di = dense_ids(src, dst)
+    n = verts.size
+    order = np.argsort(si, kind="stable")
+    s_sorted = si[order]
+    d_sorted = di[order]
+    w_sorted = w[order]
+    indptr = np.searchsorted(s_sorted, np.arange(n + 1))
+    big = np.iinfo(np.int64).max
+    dist = np.full(n, big, dtype=np.int64)
+    root_d = int(np.searchsorted(verts, root))
+    dist[root_d] = 0
+    frontier = np.array([root_d], dtype=np.int64)
+    it = 0
+    while frontier.size:
+        starts = indptr[frontier]
+        counts = indptr[frontier + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            it += 1
+            break
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum, counts)
+            + np.repeat(starts, counts)
+        )
+        cand_v = d_sorted[pos]
+        cand_d = dist[np.repeat(frontier, counts)] + w_sorted[pos]
+        best = np.full(n, big, dtype=np.int64)
+        np.minimum.at(best, cand_v, cand_d)
+        improved = np.flatnonzero(best < dist)
+        dist[improved] = best[improved]
+        frontier = improved
+        it += 1
+    return (verts, dist, dist < big), it
+
+
 # ------------------------------------------------------------ triangles
 
 def _rank(deg: np.ndarray) -> np.ndarray:

@@ -82,6 +82,10 @@ def connected_components(
         )
         n = labels.count()
         rnd = 0
+        # tail-finish backoff: a failed attempt (boundary over budget) costs
+        # two E-sized joins, so require the changed counter to halve before
+        # trying again (the boundary only shrinks with it)
+        tail_retry_below = CC_TAIL_TRIGGER_ROWS + 1
         if resume and checkpointer is not None and run_id is not None:
             loaded = checkpointer.load_superstep(run_id)
             if loaded is not None:
@@ -156,11 +160,12 @@ def connected_components(
             # label boundary (distinct cross-label super-edges); if that fits
             # the driver budget, close it with hash-min in NumPy and map the
             # final roots back with ONE broadcast join — exact fixpoint.
-            if checkpointer is None and int(changed or 0) <= CC_TAIL_TRIGGER_ROWS:
+            if checkpointer is None and int(changed or 0) < tail_retry_below:
                 done = _tail_finish(e, labels, n)
                 if done is not None:
                     labels = done
                     break
+                tail_retry_below = int(changed or 0) // 2 + 1
         e.unpersist()
         return scope.finalize(labels)
     finally:

@@ -37,8 +37,11 @@ holds its 0.938 N→4N efficiency at scale 24 (BENCH/scaling_join_s24).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graph500_bfs_spark.operators import _smallgraph
 
 #: frontier rows below which the frontier is explicitly broadcast into the
 #: adjacency join (16 B/row → ~4 MB at the threshold; same gate as bfs.py)
@@ -58,6 +61,24 @@ def sssp(
     hops iterations; ``max_iter`` is a runaway bound, not a tuning knob.
     """
     spark = edges_w.sparkSession
+    # round 6: below the driver graph budget the per-iteration fixed cost
+    # dominates (same dispatch as bfs/pagerank/cc/lpa — _smallgraph); the
+    # NumPy twin runs the identical frontier Bellman-Ford to the identical
+    # integer fixpoint.  m is driver-known before any collect.
+    m = edges_w.count()
+    if m <= _smallgraph.driver_graph_budget():
+        import pandas as pd
+
+        pdf = edges_w.select("src", "dst", "w").toPandas()
+        src = pdf["src"].to_numpy(np.int64, copy=False)
+        dstv = pdf["dst"].to_numpy(np.int64, copy=False)
+        w = pdf["w"].to_numpy(np.int64, copy=False)
+        (verts, dist_a, reached), it = _smallgraph.sssp_distances(src, dstv, w, int(root))
+        out = spark.createDataFrame(
+            pd.DataFrame({"v": verts[reached], "dist": dist_a[reached]}),
+            "v long, dist long",
+        )
+        return out, it
     # static side cached pre-partitioned on the join key (see _iter): the
     # per-iteration relax join then exchanges only the frontier
     adj = (

@@ -9,8 +9,14 @@ modes rotated rep by rep, so environment drift hits every mode equally.
 Records per mode: batch wall, batch-aggregate GTEPS, and the per-step
 merge-mode distribution (for "adaptive", how many steps actually flipped).
 
-Usage:  python scripts/ab_merge_modes.py [scale] [n_roots] [reps]
-Writes: BENCH/ab_merge_modes_s{scale}_r{n_roots}.json
+Usage:  python scripts/ab_merge_modes.py [scale] [n_roots] [reps] [adaptive_merge_bytes]
+Writes: BENCH/ab_merge_modes_s{scale}_r{n_roots}[_amb{MiB}m].json
+
+Round 6 (verdict #3): the optional ``adaptive_merge_bytes`` argument lowers
+the adaptive flip threshold for ONE recorded run so a candidate-heavy step
+actually crosses it mid-batch and ``step_modes`` shows a mixed histogram —
+the flip path exercised on record, clearly labeled as a lowered-threshold
+run (the default 1 GiB stays the shipping value).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ def main() -> None:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     n_roots = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    amb = int(sys.argv[4]) if len(sys.argv) > 4 else (1 << 30)
     repo = Path(__file__).resolve().parents[1]
 
     spark = get_spark(app_name="ab_merge_modes")
@@ -56,12 +63,14 @@ def main() -> None:
     bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m, merge="driver")  # warm
 
     out = {"scale": scale, "n_roots": n_roots, "reps": reps,
+           "adaptive_merge_bytes": amb,
            "wall_s": {mo: [] for mo in MODES},
            "gteps": {mo: [] for mo in MODES},
            "step_modes": {mo: Counter() for mo in MODES}}
     for rep in range(reps):
         for mo in MODES:
-            _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m, merge=mo)
+            _, met = bfs_multi(spark, shm, 32, roots, (dvs, ddeg), m, merge=mo,
+                               adaptive_merge_bytes=amb)
             out["wall_s"][mo].append(round(met.total_time_s, 3))
             out["gteps"][mo].append(round(met.teps() / 1e9, 5))
             out["step_modes"][mo].update(s["merge"] for s in met.supersteps)
@@ -75,7 +84,8 @@ def main() -> None:
     out["toll_adaptive_vs_driver"] = round(
         out["gteps_mean"]["driver"] / out["gteps_mean"]["adaptive"], 3)
     out["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    dest = repo / "BENCH" / f"ab_merge_modes_s{scale}_r{n_roots}.json"
+    suffix = "" if amb == (1 << 30) else f"_amb{amb >> 20}m"
+    dest = repo / "BENCH" / f"ab_merge_modes_s{scale}_r{n_roots}{suffix}.json"
     dest.write_text(json.dumps(out, indent=1))
     print(json.dumps({k: out[k] for k in
                       ("gteps_mean", "toll_spark_vs_driver",

@@ -29,6 +29,7 @@ Mirrors the reference's run-benchmark.py orchestration role
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -37,9 +38,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = r"""
-import json, shutil, sys, time
+import json, os, shutil, sys, time
 import numpy as np
 sys.path.insert(0, {repo!r})
+# Scaling legs measure the DISTRIBUTED plans: pin the round-6 driver-path
+# budget to a cluster-like 2M rows so the whole-graph NumPy fast path never
+# swallows a leg (it is core-count-independent and would fake eff=1.0),
+# while the CC tail finish — part of the shipped operator and sized by the
+# same budget — stays enabled exactly as it would be in production.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_GRAPH_ROWS", "2000000")
 from pyspark.sql import functions as F
 from graph500_bfs_spark.session import get_spark
 from graph500_bfs_spark.sources.kronecker import kronecker_edges
@@ -208,7 +215,10 @@ def main():
     t_lo, t_hi = med[n_lo], med[n_hi]
     eff = t_hi / ((n_hi / n_lo) * t_lo)
     gteps = t_hi / 1e9
-    out = REPO / "BENCH" / f"scaling_{mode}_s{scale}_r{n_roots}_{n_lo}v{n_hi}.json"
+    # SPARK_GRAFT_SCALING_TAG (e.g. "_r6code") re-anchors a point without
+    # overwriting the prior round's recorded artifact
+    tag = os.environ.get("SPARK_GRAFT_SCALING_TAG", "")
+    out = REPO / "BENCH" / f"scaling_{mode}_s{scale}_r{n_roots}_{n_lo}v{n_hi}{tag}.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps({"results": results, "efficiency": eff, "gteps_hi": gteps,
                                "reps": reps, "teps_samples": samples,

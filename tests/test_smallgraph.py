@@ -119,6 +119,21 @@ def test_triangle_wedge_budget_falls_back_to_distributed(spark, monkeypatch):
     assert got == {0: 1, 1: 1, 2: 1}
 
 
+def test_sssp_driver_path_matches_distributed(spark, monkeypatch):
+    """SSSP: driver and distributed paths reach the identical integer
+    fixpoint with the same iteration count."""
+    from graph500_bfs_spark.operators.sssp import sssp
+
+    es = edges_df(spark, HUB_SKEW)
+    ew = es.withColumn("w", (F.col("src") + F.col("dst")) % 5 + 1)
+    d1, it1 = sssp(ew, 0)
+    r1 = rows(d1)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_GRAPH_ROWS", "0")
+    d2, it2 = sssp(ew, 0)
+    assert r1 == rows(d2)
+    assert it1 == it2
+
+
 def test_symmetrize_canonical_equals_union_distinct(spark):
     """Round-6 symmetrize (distinct over the canonical orientation, then
     emit both directions) must equal the round-5 form (union both
