@@ -273,6 +273,19 @@ def _rank(deg: np.ndarray) -> np.ndarray:
 _TRI_BITMAP_MAX_N = 65_536
 
 
+def triangle_row_budget() -> int:
+    """Edge rows below which the triangle operators even ATTEMPT the driver
+    path.  Deliberately smaller than the general graph budget: the wedge
+    budget can only be checked after collecting (degrees needed), so this
+    bounds the worst wasted collect when a dense graph then falls back to
+    the distributed plan."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_DRIVER_TRI_ROWS", str(min(driver_graph_budget(), 8_000_000))
+        )
+    )
+
+
 def triangle_wedge_budget() -> int:
     """Wedge checks the driver path accepts before falling back to the
     distributed plan: the wedge set IS the algorithm's work (both paths do

@@ -84,10 +84,9 @@ def ngram_jaccard_pairs(
     for pathological boilerplate, the standard engineering tradeoff.
     """
     sh = shingle_table(docs, n).cache()
-    # shuffle-free: |shingles(doc)| is a per-row fact
-    sizes = docs.select(
-        "doc_id", F.size(shingle_array(n)).alias("sz")
-    ).filter(F.col("sz") > 0)
+    # |shingles(doc)| from the cached table (round 6: re-running the
+    # shingle expressions just to size them was a second full text pass)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_shingle_freq
     )
@@ -165,15 +164,23 @@ def band_bucket_cols(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> list[F.C
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature as k columns.
 
-    SHUFFLE-FREE: the per-document min runs inside the row over its own
-    shingle array (:func:`minhash_signature_cols`) — no exploded shingle
-    table, no groupBy exchange.  Docs with fewer than n tokens have no
-    shingles and are omitted, matching the exploded-table semantics."""
-    return (
-        docs.select("doc_id", shingle_array(n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", *minhash_signature_cols(k))
-    )
+    BATCH FORM (round 6): exploded shingles + ONE map-side-combined
+    groupBy(doc_id).min aggregate.  The round-5 row-wise form
+    (:func:`minhash_signature_cols` — k ``transform`` lambdas over the
+    row's shingle array) is plan-pretty (zero exchanges) but higher-order
+    functions evaluate INTERPRETED, not under whole-stage codegen: measured
+    2× slower end to end (13.1 s vs 6.4 s at sf0.1, 256k shingles) than
+    this exploded form, whose per-shingle md5 chain compiles and whose
+    exchange carries only k partial minima per (doc, partition) after
+    map-side combine.  The row-wise columns remain the STREAMING form
+    (stateless, usable before a watermark — streaming/dedup.py) and are
+    pinned value-identical to this one in pytest.  Docs with fewer than n
+    tokens have no shingles and are omitted (same semantics)."""
+    aggs = [
+        F.min(_hash15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return shingle_table(docs, n).groupBy("doc_id").agg(*aggs)
 
 
 def _cap_buckets(
@@ -244,13 +251,24 @@ def minhash_lsh_pairs(
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # materialized: the pair set feeds the verify join AND the
+        # candidate-doc pruning below (bounded by the bucket cap)
+        .localCheckpoint(eager=True)
     )
-    # verify candidates with exact Jaccard on shingles
-    sh = shingle_table(docs, n).cache()
-    # shuffle-free: |shingles(doc)| is a per-row fact
-    sizes = docs.select(
-        "doc_id", F.size(shingle_array(n)).alias("sz")
-    ).filter(F.col("sz") > 0)
+    # verify candidates with exact Jaccard on shingles — computed ONLY for
+    # docs that appear in a candidate pair (guide §2.3: the corpus-wide
+    # re-shingle was the measured cost center; candidates are a small
+    # fraction of the corpus by LSH design, so shingle volume follows the
+    # candidate set, not the corpus)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_table(docs.join(cand_ids, "doc_id", "left_semi"), n).cache()
+    # |shingles(doc)| from the same cached table (shingle_table emits the
+    # row's DISTINCT shingles, so the count equals size(shingle_array))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")), "doc_b")
@@ -278,25 +296,22 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Token hash = md5-prefix int64 (identical in DuckDB); bit j of the
     signature is 1 iff Σ_tokens (2·bit_j(h)−1) > 0.
     """
-    # SHUFFLE-FREE: the signature is a per-document aggregate over that
-    # document's own tokens, so it runs inside the row — md5 once per token
-    # (one transform), then `bits` array-aggregates of two-int bit ops.
-    # Same values as the exploded groupBy().sum() formulation (pytest) and
-    # the DuckDB gate oracle.
-    def _bitsum(j: int) -> F.Column:
-        # closure factory, NOT a default-arg lambda: F.aggregate's merge
-        # lambda must take exactly (acc, x)
-        return F.aggregate(
-            "hs",
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        ).alias(f"s{j}")
-
-    hashed = docs.select(
-        "doc_id",
-        F.transform(F.split(F.trim("text"), r"\s+"), _hash15).alias("hs"),
-    ).filter(F.col("hs").isNotNull())
-    agg = hashed.select("doc_id", *[_bitsum(j) for j in range(bits)])
+    # BATCH FORM (round 6): exploded tokens + ONE map-side-combined
+    # groupBy(doc_id) with `bits` sums.  The round-5 row-wise form (`bits`
+    # F.aggregate lambdas re-scanning the row's token-hash array) was
+    # zero-exchange but INTERPRETED — higher-order functions don't codegen;
+    # the exploded sums compile and combine map-side (same finding as
+    # minhash_signatures, measured 2× there).  Values identical to the
+    # row-wise form (pytest) and the DuckDB gate oracle.
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", _hash15(F.col("tok")))
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for j in range(bits):
         # bit 63 as a SIGNED long literal (1<<63 overflows int64; setting

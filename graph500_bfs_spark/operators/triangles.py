@@ -120,7 +120,7 @@ def triangle_count_canonical(canon_pairs: DataFrame) -> int:
     canon = canon_pairs.localCheckpoint(eager=True)
     m_canon = canon.count()
     try:
-        if 2 * m_canon <= _smallgraph.driver_graph_budget():
+        if 2 * m_canon <= _smallgraph.triangle_row_budget():
             src, dst = _smallgraph.collect_edges(canon)
             got = _smallgraph.triangle_corners(src, dst, per_vertex=False)
             if got is not None:  # None: wedge volume wants the 32-core plan
@@ -151,7 +151,7 @@ def per_vertex_triangles(edges_sym: DataFrame) -> DataFrame:
     scope = CheckpointScope(spark)
     canon = edges_sym.filter(F.col("src") < F.col("dst")).localCheckpoint(eager=True)
     m_canon = canon.count()
-    if 2 * m_canon <= _smallgraph.driver_graph_budget():
+    if 2 * m_canon <= _smallgraph.triangle_row_budget():
         import pandas as pd
 
         src, dst = _smallgraph.collect_edges(canon)

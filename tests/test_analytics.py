@@ -157,19 +157,19 @@ def test_rolling_fingerprint_matches_pure_python(spark):
 
 
 def test_minhash_rowwise_equals_exploded_groupby(spark):
-    """Round-5: minhash_signatures computes the per-doc min INSIDE the row
-    (array_min over transform) — zero shuffles.  It must stay value-identical
-    to the exploded-shingle groupBy().min() formulation (which is also what
-    the DuckDB gate oracle computes), including omitting docs too short to
-    shingle.  Also guards the F.transform lambda-arity trap: a two-parameter
-    lambda would receive the ARRAY INDEX as its second argument and silently
-    hash the wrong prefix."""
-    from pyspark.sql import functions as F
+    """The row-wise STREAMING form (array_min over transform — stateless,
+    zero shuffles, usable before a watermark) must stay value-identical to
+    the batch exploded-shingle groupBy().min() form (round 6's measured-
+    faster default: higher-order functions evaluate interpreted, the
+    exploded aggregate compiles — 2× at sf0.1), including omitting docs too
+    short to shingle.  Also guards the F.transform lambda-arity trap: a
+    two-parameter lambda would receive the ARRAY INDEX as its second
+    argument and silently hash the wrong prefix."""
 
     from graph500_bfs_spark.operators.dedup import (
-        _hash15,
+        minhash_signature_cols,
         minhash_signatures,
-        shingle_table,
+        shingle_array,
     )
 
     docs = spark.createDataFrame(
@@ -183,24 +183,25 @@ def test_minhash_rowwise_equals_exploded_groupby(spark):
         "doc_id long, text string, n_chars int",
     )
     k, n = 8, 3
-    new = minhash_signatures(docs, k=k, n=n)
-    aggs = [
-        F.min(_hash15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    old = shingle_table(docs, n).groupBy("doc_id").agg(*aggs)
-    assert sorted(new.columns) == sorted(old.columns)
-    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
-    assert new.count() == 3  # docs 4 and 5 have no shingles
-    plan = new._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # the whole point: signature = map-only
+    batch = minhash_signatures(docs, k=k, n=n)
+    rowwise = (
+        docs.select("doc_id", shingle_array(n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", *minhash_signature_cols(k))
+    )
+    assert sorted(batch.columns) == sorted(rowwise.columns)
+    assert batch.exceptAll(rowwise).count() == 0 and rowwise.exceptAll(batch).count() == 0
+    assert batch.count() == 3  # docs 4 and 5 have no shingles
+    plan = rowwise._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the streaming form stays map-only
 
 
 def test_simhash_rowwise_equals_exploded_groupby(spark):
-    """Round-5: simhash_signatures hashes each token once (one transform)
-    and bit-sums inside the row — zero shuffles.  Must stay value-identical
-    to the exploded token table + groupBy().sum() formulation (which the
-    DuckDB gate oracle mirrors)."""
+    """The batch exploded-token groupBy().sum() form (round 6's measured-
+    faster default) must stay value-identical to the row-wise F.aggregate
+    form (zero shuffles — the streaming-shaped construction, kept here as
+    the reference twin; higher-order functions evaluate interpreted, which
+    is why batch switched)."""
     from pyspark.sql import functions as F
 
     from graph500_bfs_spark.operators.dedup import _hash15, simhash_signatures
@@ -215,22 +216,26 @@ def test_simhash_rowwise_equals_exploded_groupby(spark):
     )
     bits = 32
     new = simhash_signatures(docs, bits=bits)
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-    ).withColumn("h", _hash15(F.col("tok")))
-    aggs = [
-        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*aggs)
+
+    def _bitsum(j):
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        ).alias(f"s{j}")
+
+    hashed = docs.select(
+        "doc_id", F.transform(F.split(F.trim("text"), r"\s+"), _hash15).alias("hs")
+    ).filter(F.col("hs").isNotNull())
+    agg = hashed.select("doc_id", *[_bitsum(j) for j in range(bits)])
     sim = F.lit(0).cast("long")
     for j in range(bits):
         w = (1 << j) if j < 63 else -(1 << 63)
         sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0))
     old = agg.select("doc_id", sim.alias("simhash"))
     assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
-    plan = new._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    plan = old._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the row-wise twin stays map-only
 
 
 def test_lsh_bucket_cap_bounds_candidates(spark):
