@@ -21,6 +21,9 @@ Usage: run_scaling.py [scale] [n_roots] [cores_lo] [cores_hi] [mode] [reps]
         | pagerank | cc | lpa | tri (the north-rule analytics over the
           same graph; throughput = directed edges × supersteps / wall,
           n_roots ignored)
+        | sssp (frontier Bellman-Ford over the same graph with the
+          endpoint-derived integer weights w=(src+dst)%7+1, one source =
+          the min vertex; throughput = directed edges × iterations / wall)
 
 Mirrors the reference's run-benchmark.py orchestration role
 (/root/reference/run-benchmark.py:104-200).
@@ -106,6 +109,31 @@ if mode in ("ms", "msspark", "msmerge", "msadaptive"):
         "TEPS": met.teps(),
         "msbfs_batch_aggregate_TEPS": met.teps(),
         "times_s": [met.total_time_s], "traversed_edges": [met.traversed_edges]}}))
+    sys.exit(0)
+if mode == "sssp":
+    from graph500_bfs_spark.operators.sssp import sssp
+
+    # overflow-safe (src + dst) mod 7 (+1): transcript entity ids are
+    # hash-derived int64s near the range edge, so add AFTER reducing mod 7
+    ew = es.withColumn(
+        "w", F.pmod(F.pmod(F.col("src"), F.lit(7)) + F.pmod(F.col("dst"), F.lit(7)), F.lit(7)) + 1
+    )
+    root = int(es.agg(F.min("src")).collect()[0][0])
+
+    def run_sssp():
+        dist, n_iter = sssp(ew, root)
+        dist.agg(F.count("*")).collect()
+        return n_iter
+
+    run_sssp()  # warm
+    t0 = time.time()
+    iters = run_sssp()
+    wall = time.time() - t0
+    print("RESULT " + json.dumps({{
+        "cores": cores, "scale": scale, "mode": mode,
+        "n_vertices": n_total, "m_directed": m_dir, "supersteps": iters,
+        "metric": "processed_edges_per_sec",
+        "TEPS": m_dir * iters / wall, "wall_s": wall}}))
     sys.exit(0)
 if mode in ("pagerank", "cc", "lpa", "tri"):
     # north-rule analytics legs: same two-parallelism protocol, throughput
