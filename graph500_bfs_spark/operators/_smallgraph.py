@@ -329,11 +329,13 @@ def triangle_corners(src: np.ndarray, dst: np.ndarray, per_vertex: bool):
         ekey = None
     else:
         ekey = np.sort(key)
-    total = 0
-    corners = np.zeros(n, dtype=np.int64) if per_vertex else np.zeros(0, dtype=np.int64)
     maxc = int(counts.max()) if counts.size else 0
     srcs_all = np.arange(n, dtype=np.int64)
-    for s in range(1, maxc):
+
+    def one_shift(s: int):
+        """(count, corner bincount or None) for wedge diagonal s — only
+        reads shared immutable arrays, so shifts run concurrently (the big
+        NumPy kernels release the GIL)."""
         rows = srcs_all[counts > s]
         ln = counts[rows] - s
         tot = int(ln.sum())
@@ -347,10 +349,24 @@ def triangle_corners(src: np.ndarray, dst: np.ndarray, per_vertex: bool):
         else:
             pos = np.searchsorted(ekey, wkey)
             found = (pos < ekey.size) & (ekey[pos.clip(max=ekey.size - 1)] == wkey)
-        total += int(found.sum())
-        if per_vertex and found.any():
+        cnt = int(found.sum())
+        if per_vertex and cnt:
             wa = np.repeat(rows, ln)[found]
-            corners += np.bincount(wa, minlength=n)
-            corners += np.bincount(x[found], minlength=n)
-            corners += np.bincount(y[found], minlength=n)
+            c = np.bincount(wa, minlength=n)
+            c += np.bincount(x[found], minlength=n)
+            c += np.bincount(y[found], minlength=n)
+            return cnt, c
+        return cnt, None
+
+    total = 0
+    corners = np.zeros(n, dtype=np.int64) if per_vertex else np.zeros(0, dtype=np.int64)
+    if maxc > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(8, os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for cnt, c in ex.map(one_shift, range(1, maxc)):
+                total += cnt
+                if c is not None:
+                    corners += c
     return verts, total, corners
