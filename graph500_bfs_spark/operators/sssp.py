@@ -108,23 +108,26 @@ def sssp(
             .groupBy("cv")
             .agg(F.min("nd").alias("nd"))  # map-side combined
         )
-        # both sides are freshly shuffled each iteration; the hint swaps the
-        # per-iteration double sort for a per-partition hash build (AQE may
-        # still downgrade to broadcast when the reached set is small)
-        old = dist.select(F.col("v").alias("ov"), F.col("dist").alias("od")).hint(
-            "shuffle_hash"
-        )
-        frontier = (
-            cand.join(old, cand["cv"] == old["ov"], "left")
-            .filter(F.col("od").isNull() | (F.col("nd") < F.col("od")))
-            .select(F.col("cv").alias("v"), F.col("nd").alias("dist"))
+        # ONE full-outer merge join replaces round 5's improvement-check
+        # join PLUS union/groupBy merge: the O(reached) distance table now
+        # crosses an exchange once per iteration instead of twice, one
+        # checkpoint materializes both the new table and the improvement
+        # set, and least() (null-skipping) computes the merged distance.
+        # shuffle_hash on the candidate (small) side — full-outer shuffled
+        # hash join streams the distance side with no per-iteration sort.
+        merged = (
+            dist.select(F.col("v").alias("ov"), F.col("dist").alias("od"))
+            .join(cand.hint("shuffle_hash"), F.col("ov") == F.col("cv"), "full")
+            .select(
+                F.coalesce("ov", "cv").alias("v"),
+                F.least("od", "nd").alias("dist"),
+                # improved: newly reached, or a strictly smaller candidate
+                # (nd null → comparison null → filtered out below)
+                (F.col("od").isNull() | (F.col("nd") < F.col("od"))).alias("_imp"),
+            )
             .localCheckpoint(eager=True)
         )
-        dist = (
-            dist.unionByName(frontier)
-            .groupBy("v")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        frontier = merged.filter(F.col("_imp")).select("v", "dist")
+        dist = merged.select("v", "dist")
         it += 1
     return dist, it

@@ -118,7 +118,10 @@ if mode == "sssp":
     ew = es.withColumn(
         "w", F.pmod(F.pmod(F.col("src"), F.lit(7)) + F.pmod(F.col("dst"), F.lit(7)), F.lit(7)) + 1
     )
-    root = int(es.agg(F.min("src")).collect()[0][0])
+    # root = the max-degree hub (giant component): min(src) can land on a
+    # hash-id transcript vertex in a tiny component, making the timed run a
+    # 4-iteration fixed-cost probe instead of a real traversal
+    root = int(deg.orderBy(F.desc("deg"), F.asc("v")).first()["v"])
 
     def run_sssp():
         dist, n_iter = sssp(ew, root)
