@@ -16,7 +16,7 @@ Two algorithms:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph500_bfs_spark.operators import _smallgraph
@@ -119,8 +119,10 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)  # action 1
             )
-            # pointer doubling: component ← label(component), then fused change
-            # count in the same pass (action 2) — two actions per round total
+            # pointer doubling: component ← label(component); the change
+            # count rides the SAME job via observed metrics (round 6, the
+            # bfs.py pattern) — two actions per round total, down from three
+            obs = Observation()
             short = (
                 merged.alias("a")
                 .join(
@@ -140,11 +142,12 @@ def connected_components(
                     ),
                     F.col("a.old").alias("old"),
                 )
+                .observe(
+                    obs, F.sum((F.col("component") != F.col("old")).cast("long")).alias("changed")
+                )
                 .localCheckpoint(eager=True)  # action 2
             )
-            changed = short.agg(
-                F.sum((F.col("component") != F.col("old")).cast("long"))
-            ).collect()[0][0]
+            changed = obs.get["changed"]
             labels = short.drop("old")
             if checkpointer is not None:
                 checkpointer.save_superstep(

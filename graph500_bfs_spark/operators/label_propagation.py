@@ -12,7 +12,7 @@ argmax per v via a second aggregate.  Both aggregates are algebraic
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph500_bfs_spark.operators import _smallgraph
@@ -69,6 +69,10 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
             new_labels = counts.groupBy("v").agg(
                 F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("label")
             )
+            # round 6: the change count rides the SAME job as the round's
+            # materialization via observed metrics (the bfs.py pattern) —
+            # ONE action per round instead of checkpoint + scalar collect
+            obs = Observation()
             merged = (
                 labels.select(F.col("v"), F.col("label").alias("old"))
                 .join(
@@ -77,10 +81,10 @@ def label_propagation(edges_sym: DataFrame, max_iter: int = 20) -> DataFrame:
                     "left",
                 )
                 .select("v", F.coalesce(F.col("label"), F.col("old")).alias("label"), F.col("old"))
-                .localCheckpoint(eager=True)  # action 1: materialize round
+                .observe(obs, F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"))
+                .localCheckpoint(eager=True)
             )
-            # action 2: fused scalar change count on materialized data
-            changed = merged.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
+            changed = obs.get["changed"]
             labels = merged.drop("old")
             if int(changed or 0) == 0:
                 break

@@ -19,7 +19,7 @@ Scale/efficiency notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph500_bfs_spark.operators import _smallgraph
@@ -138,18 +138,23 @@ def pagerank(
                     F.sum("o").alias("old"),
                     F.max("dang").alias("dang"),
                 )
-                .localCheckpoint(eager=True)  # action 1: ONE shuffle
             )
             if skip_scalar:
+                new_ranks = new_ranks.localCheckpoint(eager=True)  # the only action
                 delta = float("inf")
             else:
-                # action 2: fused scalar (convergence delta + next dangling mass)
-                row = new_ranks.agg(
+                # round 6: the scalars (convergence delta + next dangling
+                # mass) ride the SAME job as the checkpoint via observed
+                # metrics (the bfs.py pattern) — one action per iteration
+                obs = Observation()
+                new_ranks = new_ranks.observe(
+                    obs,
                     F.sum(F.abs(F.col("score") - F.col("old"))).alias("delta"),
-                    F.coalesce(F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)).alias(
-                        "dangling"
-                    ),
-                ).collect()[0]
+                    F.coalesce(
+                        F.sum(F.when(F.col("dang") == 1, F.col("score"))), F.lit(0.0)
+                    ).alias("dangling"),
+                ).localCheckpoint(eager=True)
+                row = obs.get
                 delta, dangling = float(row["delta"]), float(row["dangling"])
             ranks = new_ranks.drop("old")
             if checkpointer is not None:
